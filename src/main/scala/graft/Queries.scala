@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One driver-checkable query: a Spark implementation plus (where
+  * SQL-expressible) an equivalent ANSI SQL string the driver runs in
+  * DuckDB over the same parquet tables (SURVEY.md §2.2 / §5).
+  *
+  * Determinism contract for oracle queries:
+  *  - every query ends in ORDER BY over a unique key set;
+  *  - no nullable sort keys (DuckDB defaults NULLS LAST, Spark NULLS
+  *    FIRST — we sidestep rather than annotate);
+  *  - double aggregation goes through exact DECIMAL or integer
+  *    quantization so sums are order-independent and bit-equal across
+  *    engines; plain double arithmetic (+,*,/ ,sqrt) is IEEE-754 and
+  *    matches bit-for-bit.
+  */
+final case class QuerySpec(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QuerySpec {
+  def sql(name: String)(oracle: String)(
+      fn: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, fn, Some(oracle))
+  def rowsOnly(name: String)(
+      fn: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, fn, None)
+}
+
+/** Shared helpers for query implementations. */
+object Q {
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.io.Tables.table(s, dir, name)
+
+  /** Exact, order-independent SUM of a 2-decimal double column: cast to
+    * DECIMAL first (exact add), surface as DOUBLE. Mirrored in oracle SQL
+    * as CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE).
+    */
+  def sumD2(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Same with scale 4 for products like extendedprice*(1-discount). */
+  def sumD4(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+}
+
+object Queries {
+  /** Ordered list — order is presentation-only, the driver maps by name. */
+  def all: Seq[QuerySpec] =
+    RelationalQueries.specs ++ FunctionQueries.specs ++
+      FeatureQueries.specs ++ TextQueries.specs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

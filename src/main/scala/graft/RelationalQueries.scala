@@ -1,0 +1,427 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Q._
+import graft.QuerySpec.{rowsOnly, sql}
+import graft.ops.Relational
+
+/** Scan / filter / sort / join / aggregate / window / set-op query surface
+  * (SURVEY.md §2.2). Each spec: Spark impl + DuckDB oracle SQL.
+  */
+object RelationalQueries {
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // A4/A6: projection reaches the parquet scan (ReadSchema pruning).
+    // NB (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    // the ORDER BY must span all output columns to be total.
+    sql("q_scan_project")(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice")
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice")
+    },
+
+    // Conjunctive/disjunctive predicates + IN + LIKE + BETWEEN, pushed to
+    // parquet row groups.
+    sql("q_filter_pred")(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |       l_returnflag, l_discount, l_tax
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A','R')
+        |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                     AND TIMESTAMP '1999-12-31 00:00:00'
+        |  AND (l_discount > 0.05 OR l_tax = 0.0)
+        |  AND l_linestatus LIKE 'F%'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate").between(
+            lit("1996-01-01 00:00:00").cast(TimestampType),
+            lit("1999-12-31 00:00:00").cast(TimestampType)) &&
+          (col("l_discount") > 0.05 || col("l_tax") === 0.0) &&
+          col("l_linestatus").like("F%"))
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_discount", "l_tax")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")
+    },
+
+    // A5: total sort + limit (TakeOrderedAndProject, no global shuffle).
+    sql("q_limit_sort")(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100)
+    },
+
+    // Top-k per group: one shuffle on the group key, no global sort.
+    sql("q_topk_group")(
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin) { (s, dir) =>
+      Relational.topKPerGroup(
+          t(s, dir, "orders")
+            .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          Seq(col("o_orderpriority")),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_orderpriority", "rn")
+    },
+
+    // Shuffle join on the join key, then partial+final hash agg.
+    sql("q_join_inner")(
+      """SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"),
+            col("c_custkey") === col("o_custkey"), "inner")
+          .groupBy("c_custkey", "c_name")
+          .agg(count(lit(1)).as("n_orders"),
+            sumD2(col("o_totalprice")).as("total"))
+          .orderBy("c_custkey")
+    },
+
+    // Dims broadcast explicitly — at 100 TB the fact side never shuffles
+    // for these joins.
+    sql("q_join_broadcast")(
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n_cust"),
+            sumD2(col("c_acctbal")).as("sum_bal"))
+          .orderBy("r_name", "n_name")
+    },
+
+    sql("q_join_left")(
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2)))
+        |       AS DOUBLE) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          sumD2(coalesce(col("o_totalprice"), lit(0))).as("total"))
+        .orderBy("c_custkey")
+    },
+
+    // EXISTS → left_semi: no row multiplication, build side is the
+    // filtered orders (broadcastable after the selective predicate).
+    sql("q_join_semi")(
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    sql("q_join_anti")(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Non-equi band join: broadcast the smaller side so the nested-loop
+    // probe never shuffles the big side.
+    sql("q_join_range")(
+      """SELECT s_suppkey, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM supplier JOIN part
+        |  ON p_retailprice BETWEEN s_acctbal - 60 AND s_acctbal + 60
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      broadcast(t(s, dir, "supplier"))
+        .join(t(s, dir, "part"),
+          col("p_retailprice").between(
+            col("s_acctbal") - 60, col("s_acctbal") + 60))
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_parts"),
+          sumD2(col("p_retailprice")).as("sum_price"))
+        .orderBy("s_suppkey")
+    },
+
+    // Point-in-time as-of join: for each click, the latest purchase value
+    // at-or-before it (feature-store keystone, A14/A15). Spark side uses
+    // the union+window algorithm (ops.Relational.asofJoin) — one shuffle,
+    // no range-join blowup; oracle uses the quadratic formulation.
+    sql("q_join_asof")(
+      """WITH q AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |     f AS (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |     j AS (SELECT q.event_id, q.user_id, q.ts,
+        |                  f.value AS asof_value,
+        |                  row_number() OVER (PARTITION BY q.event_id
+        |                    ORDER BY f.ts DESC, f.value DESC) AS rn
+        |           FROM q JOIN f
+        |             ON f.user_id = q.user_id AND f.ts <= q.ts)
+        |SELECT event_id, user_id, ts, asof_value FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      Relational.asofJoin(clicks, purchases, "user_id", "ts", "ts",
+          Seq("value"))
+        .filter(col("asof_value").isNotNull) // inner as-of semantics
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_value"))
+        .orderBy("event_id")
+    },
+
+    // A17-adjacent: canonical pricing-summary hash aggregation. DECIMAL
+    // sums are exact → order-independent → oracle-stable.
+    sql("q_agg_hash")(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |       AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumD2(col("l_quantity")).as("sum_qty"),
+          sumD2(col("l_extendedprice")).as("sum_base_price"),
+          sumD4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          (sumD2(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    sql("q_agg_distinct")(
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS d_parts,
+        |  COUNT(DISTINCT l_suppkey) AS d_supps,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("d_parts"),
+          countDistinct(col("l_suppkey")).as("d_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // Grouping sets. NULL grouping slots are COALESCEd away so sort-key
+    // null ordering (Spark NULLS FIRST vs DuckDB NULLS LAST) never bites.
+    sql("q_agg_rollup")(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sumD2(col("l_extendedprice")).as("sum_price"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_price"))
+        .orderBy("rf", "ls")
+    },
+
+    sql("q_agg_cube")(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        |       COALESCE(o_orderpriority, 'ALL') AS pri,
+        |       COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sumD2(col("o_totalprice")).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("n"), col("sum_price"))
+        .orderBy("st", "pri")
+    },
+
+    // Pivot as conditional aggregation — one pass, no shuffle per column.
+    sql("q_agg_pivot")(
+      """SELECT user_id,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS n_click,
+        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS n_purchase,
+        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS n_error,
+        |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase'
+        |       THEN CAST(value AS DECIMAL(18,2))
+        |       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS purchase_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        def cnt(et: String) =
+          sum(when(col("event_type") === et, 1L).otherwise(0L))
+        t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(cnt("click").as("n_click"), cnt("view").as("n_view"),
+            cnt("purchase").as("n_purchase"), cnt("error").as("n_error"),
+            cnt("signup").as("n_signup"),
+            sum(when(col("event_type") === "purchase",
+              col("value").cast(DecimalType(18, 2)))
+              .otherwise(lit(0).cast(DecimalType(18, 2))))
+              .cast(DoubleType).as("purchase_value"))
+          .orderBy("user_id")
+    },
+
+    // Ranking functions; ties on c_acctbal are real so rank vs dense_rank
+    // differ; ntile gets its own unique ordering (ties would be
+    // engine-dependent otherwise).
+    sql("q_window_rank")(
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  rank() OVER (PARTITION BY c_mktsegment
+        |               ORDER BY c_acctbal DESC) AS rnk,
+        |  dense_rank() OVER (PARTITION BY c_mktsegment
+        |                     ORDER BY c_acctbal DESC) AS drnk,
+        |  ntile(4) OVER (PARTITION BY c_mktsegment
+        |                 ORDER BY c_acctbal DESC, c_custkey) AS tile
+        |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin) {
+      (s, dir) =>
+        val byBal = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc)
+        val byBalUnique = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            rank().over(byBal).as("rnk"),
+            dense_rank().over(byBal).as("drnk"),
+            ntile(4).over(byBalUnique).as("tile"))
+          .orderBy("c_mktsegment", "c_custkey")
+    },
+
+    // lag/lead + running sum with an explicit ROWS frame; DECIMAL keeps
+    // the running sum exact so prefix order is irrelevant.
+    sql("q_window_analytic")(
+      """SELECT event_id, user_id, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow))
+            .cast(DoubleType).as("running_value"))
+        .orderBy("event_id")
+    },
+
+    sql("q_set_union")(
+      """SELECT nk, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nk FROM supplier)
+        |GROUP BY nk ORDER BY nk""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .unionAll(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .groupBy("nk").agg(count(lit(1)).as("n"))
+        .orderBy("nk")
+    },
+
+    sql("q_set_intersect")(
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")
+    },
+
+    // Customers minus big spenders — nonempty at every SF (~25% of
+    // customers lack a >450k order).
+    sql("q_set_except")(
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |WHERE o_totalprice > 450000
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .except(t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+          .select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")
+    },
+
+    // approx_count_distinct has no cross-engine oracle — rows-only check;
+    // the exact twin is q_agg_distinct.
+    rowsOnly("q_agg_approx") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02)
+          .as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }
+  )
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator library backing SURVEY.md §2.2. Everything here is
+  * declarative DataFrame composition — Catalyst keeps pushdown/pruning/AQE
+  * working through these helpers.
+  */
+object Relational {
+
+  /** Top-k rows per group, deterministic via caller-supplied total
+    * ordering (include a unique tiebreak column!). Scales: single shuffle
+    * on `partitionCols`, per-partition sort, no global sort.
+    */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[Column],
+                   orderCols: Seq[Column], k: Int,
+                   rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Point-in-time as-of join (the feature-store keystone, reference
+    * semantics: Vertex FS point-in-time retrieval,
+    * feature_store_helper.py:142-185).
+    *
+    * For each left row (key, leftTs), attaches the right-side `valueCols`
+    * of the latest right row with rightTs <= leftTs (inclusive). Ties on
+    * rightTs resolve to the greatest `valueCols` tuple (matches an oracle
+    * `row_number() OVER (ORDER BY ts DESC, value DESC...) = 1`).
+    *
+    * 100 TB design: this is the union+window formulation — ONE shuffle on
+    * the key, per-key sort by time, O(n log n); it never materializes the
+    * (query × candidate-feature) range-join blowup. Skewed keys ride on
+    * AQE; for a persistent feature table, pre-bucket by key so the shuffle
+    * disappears entirely.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // Align schemas: left payload + null feature slots, and vice versa.
+    val lNorm = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__isq", lit(1))
+    val rNorm0 = right.select(
+      (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__isq") +:
+        valueCols.map(col)): _*)
+    val rNorm = leftCols.filterNot(c => c == key)
+      .foldLeft(rNorm0)((d, c) => d.withColumn(c, lit(null)))
+    val lFull = valueCols.foldLeft(lNorm)((d, c) =>
+      d.withColumn(s"__v_$c", lit(null).cast(right.schema(c).dataType)))
+    val rFull = valueCols.foldLeft(rNorm)((d, c) =>
+      d.withColumnRenamed(c, s"__v_$c"))
+    val cols = (leftCols.toSeq ++ Seq("__ts", "__isq") ++
+      valueCols.map(c => s"__v_$c")).map(col)
+    val unioned = lFull.select(cols: _*).unionByName(rFull.select(cols: _*))
+    // Features sort before queries at equal ts (inclusive as-of); among
+    // equal-ts features the greatest value tuple wins (it sorts last).
+    val ord: Seq[Column] = col("__ts").asc +: col("__isq").asc +:
+      valueCols.map(c => col(s"__v_$c").asc_nulls_first)
+    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withVals = valueCols.foldLeft(unioned)((d, c) =>
+      d.withColumn(s"asof_$c",
+        last(col(s"__v_$c"), ignoreNulls = true).over(w)))
+    withVals.filter(col("__isq") === 1)
+      .select((leftCols.toSeq.map(col) ++
+        valueCols.map(c => col(s"asof_$c"))): _*)
+  }
+
+  /** Online-serving view: latest feature row per entity (A15,
+    * FeaturestoreOnlineServingServiceClient surface). Deterministic
+    * tiebreak on `tiebreak` descending.
+    */
+  def latestPerKey(df: DataFrame, key: String, ts: String,
+                   tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col(tiebreak).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Gap-based sessionization (batch form of session windows): a new
+    * session starts when the gap to the previous event of the same key
+    * exceeds `gapSeconds`. Exact integer microsecond arithmetic so the
+    * oracle (epoch_us) matches bit-for-bit.
+    */
+  def sessionize(df: DataFrame, key: String, ts: String, eventId: String,
+                 gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(eventId))
+    val gapMicros = gapSeconds * 1000000L
+    val withFlag = df
+      .withColumn("__prev_us", lag(unix_micros(col(ts)), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev_us").isNull ||
+          unix_micros(col(ts)) - col("__prev_us") > gapMicros, 1L)
+          .otherwise(0L))
+    withFlag.withColumn("session_idx",
+        sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev_us", "__new")
+  }
+
+  /** Exact dedup with a deterministic survivor: group on the dedup key,
+    * keep the minimum id. (dropDuplicates picks an arbitrary row — fine
+    * interactively, not reproducible; SURVEY.md §5.)
+    */
+  def dedupExact(df: DataFrame, dedupCols: Seq[String],
+                 idCol: String): DataFrame =
+    df.groupBy(dedupCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+}
