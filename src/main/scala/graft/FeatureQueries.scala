@@ -1,8 +1,107 @@
 package graft
 
-/** Feature-store query surface (latest view, point-in-time, sessionize) —
-  * build-plan step 6 (SURVEY.md §7).
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Q._
+import graft.QuerySpec.sql
+import graft.ops.Relational
+
+/** Feature-store query surface over `events` (entity = user_id, time =
+  * ts): online latest-value view, gap sessionization, and point-in-time
+  * training-set assembly (SURVEY.md A14/A15, q_feature_*).
   */
 object FeatureQueries {
-  def specs: Seq[QuerySpec] = Seq()
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // A15: online-serving view — latest feature row per entity.
+    sql("q_feature_latest")(
+      """WITH r AS (SELECT user_id, event_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, ts, event_type, value FROM r
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Relational.latestPerKey(t(s, dir, "events"), "user_id", "ts",
+          "event_id")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    },
+
+    // Gap-based sessionization (batch session windows). Integer-µs gap
+    // arithmetic keeps Spark and DuckDB bit-identical.
+    sql("q_sessionize")(
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |              > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_idx
+        |  FROM s)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM s2 GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin) { (s, dir) =>
+      Relational.sessionize(t(s, dir, "events"), "user_id", "ts",
+          "event_id", gapSeconds = 1800)
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy("user_id", "session_idx")
+    },
+
+    // Point-in-time training set: for each click, the user's purchase
+    // history *so far* (count + exact running total). The as-of join is
+    // the union+window algorithm — no range-join blowup at scale.
+    sql("q_feature_pit")(
+      """WITH f AS (
+        |  SELECT user_id, ts,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS n_purchases,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) AS total_purchase
+        |  FROM events WHERE event_type = 'purchase'),
+        |q AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click'),
+        |j AS (SELECT q.event_id, q.user_id, q.ts,
+        |        f.n_purchases, f.total_purchase,
+        |        row_number() OVER (PARTITION BY q.event_id
+        |          ORDER BY f.ts DESC, f.n_purchases DESC) AS rn
+        |      FROM q JOIN f ON f.user_id = q.user_id AND f.ts <= q.ts)
+        |SELECT event_id, user_id, ts, n_purchases, total_purchase
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val features = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          row_number().over(w).cast(LongType).as("n_purchases"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow))
+            .cast(DoubleType).as("total_purchase"))
+      val queries = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      Relational.asofJoin(queries, features, "user_id", "ts", "ts",
+          Seq("n_purchases", "total_purchase"))
+        .filter(col("asof_n_purchases").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_n_purchases").as("n_purchases"),
+          col("asof_total_purchase").as("total_purchase"))
+        .orderBy("event_id")
+    }
+  )
 }

@@ -1,0 +1,149 @@
+package graft.feature
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+import graft.ops.Relational
+
+/** Feature definition in the registry (reference:
+  * feature_store_helper.py:109-137 — name, value type, description).
+  */
+final case class FeatureDef(name: String, dtype: String,
+                            description: String = "")
+
+/** Entity type: a keyed collection of features (reference:
+  * feature_store_helper.py:83-107).
+  */
+final case class EntityTypeDef(name: String, entityIdCol: String,
+                               features: Seq[FeatureDef],
+                               description: String = "")
+
+/** Spark-native feature store with the reference's capability surface
+  * (SURVEY.md A13-A15, A23):
+  *
+  *  - registry DDL: create/list/delete entity types (metadata only);
+  *  - bulk import: append-only versioned feature values stamped with an
+  *    ingestion `feature_ts` (bigquery_to_featurestore.py:21-23 stamps
+  *    import time; WRITE semantics are append — history is kept);
+  *  - offline point-in-time retrieval: as-of join so training rows never
+  *    see future features (the Vertex FS batch-read semantics);
+  *  - online view: latest value per entity (the
+  *    FeaturestoreOnlineServingServiceClient surface).
+  *
+  * Storage is parquet under `root/<entityType>/values`, partitioned by
+  * ingest date. 100 TB note: partition by `feature_ts` day + bucket by
+  * entity id so point-in-time joins co-locate without a full shuffle.
+  */
+final class FeatureStore(spark: SparkSession, root: String) {
+
+  private def valuesPath(entityType: String) = s"$root/$entityType/values"
+  private def metaPath(entityType: String) = s"$root/$entityType/meta.json"
+
+  // ---- registry DDL (A13/A23) ----------------------------------------
+
+  def createEntityType(et: EntityTypeDef): Unit = {
+    Files.createDirectories(Paths.get(s"$root/${et.name}"))
+    val features = et.features
+      .map(f => s"""{"name":"${f.name}","dtype":"${f.dtype}",""" +
+        s""""description":"${f.description}"}""")
+      .mkString("[", ",", "]")
+    Files.writeString(Paths.get(metaPath(et.name)),
+      s"""{"name":"${et.name}","entityIdCol":"${et.entityIdCol}",""" +
+        s""""features":$features,"description":"${et.description}"}""")
+  }
+
+  def listEntityTypes(): Seq[String] = {
+    val dir = Paths.get(root)
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala()
+        .filter(p => Files.exists(p.resolve("meta.json")))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** force-delete: values + metadata (feature_store_helper.py:8-27). */
+  def deleteEntityType(name: String): Unit = {
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala().foreach(rm) finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(s"$root/$name"))
+  }
+
+  // ---- bulk import (A14) ---------------------------------------------
+
+  /** Append feature values stamped with `featureTs` (defaults to the
+    * import wall-clock, seconds precision — matching the reference's
+    * proto Timestamp at feature_store_helper.py:154-158). Append-only:
+    * repeated imports version the values; readers resolve by time.
+    */
+  def importFeatureValues(entityType: String, df: DataFrame,
+                          entityIdCol: String,
+                          featureTs: Option[java.sql.Timestamp] = None)
+      : Unit = {
+    val stamped = featureTs match {
+      case Some(ts) => df.withColumn("feature_ts", lit(ts))
+      case None => df.withColumn("feature_ts",
+        current_timestamp().cast("timestamp"))
+    }
+    stamped
+      .withColumn("__ingest_date", to_date(col("feature_ts")))
+      .repartition(col(entityIdCol))
+      .write.mode("append")
+      .partitionBy("__ingest_date")
+      .parquet(valuesPath(entityType))
+  }
+
+  /** Import with a per-row event-time column instead of a constant stamp
+    * (the general versioned-feature-table shape).
+    */
+  def importWithEventTime(entityType: String, df: DataFrame,
+                          tsCol: String): Unit =
+    df.withColumn("feature_ts", col(tsCol))
+      .withColumn("__ingest_date", to_date(col("feature_ts")))
+      .write.mode("append")
+      .partitionBy("__ingest_date")
+      .parquet(valuesPath(entityType))
+
+  def readValues(entityType: String): DataFrame =
+    spark.read.parquet(valuesPath(entityType)).drop("__ingest_date")
+
+  // ---- retrieval (A15) -----------------------------------------------
+
+  /** Offline point-in-time read: for each (entity, asOfTs) query row,
+    * the latest feature values with feature_ts <= asOfTs. Training-set
+    * safe: never reads the future.
+    */
+  def pointInTime(entityType: String, queries: DataFrame,
+                  entityIdCol: String, asOfTsCol: String,
+                  featureCols: Seq[String]): DataFrame =
+    Relational.asofJoin(queries, readValues(entityType), entityIdCol,
+      asOfTsCol, "feature_ts", featureCols)
+
+  /** Online-serving view: current (latest) value per entity. */
+  def latestOnlineView(entityType: String, entityIdCol: String,
+                       tiebreak: String): DataFrame =
+    Relational.latestPerKey(readValues(entityType), entityIdCol,
+      "feature_ts", tiebreak)
+
+  private implicit class IterScala[T](it: java.util.Iterator[T]) {
+    def asScala(): Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+}
+
+object FeatureStore {
+  /** Spark-typed view of a registry dtype string. */
+  def sparkType(dtype: String): DataType = DataType.fromDDL(dtype)
+}
