@@ -1,8 +1,210 @@
 package graft
 
-/** Text/LLM-data operators (dedup, tokens, quality, similarity) —
-  * build-plan step 7 (SURVEY.md §7).
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.text.{Dedup, Similarity, TextOps}
+
+/** Text/LLM-data operators (dedup, tokens, quality, language-ID,
+  * fingerprint, similarity search) — build-plan step 7 (SURVEY.md §7),
+  * north_star surface.
+  *
+  * Oracle determinism notes:
+  *  - All float outputs are integer-counts-divided-as-doubles or
+  *    quantized-integer arithmetic with one final IEEE div/sqrt —
+  *    bit-equal across Spark and DuckDB (see text/Similarity.scala).
+  *  - MinHash/SimHash depend on Spark's xxhash64 → not SQL-expressible →
+  *    rows-only checks (SURVEY.md §2.2).
   */
 object TextQueries {
-  def specs: Seq[QuerySpec] = Seq()
+
+  private val stop = Seq("a", "an", "the", "of", "and", "or", "in", "on")
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // -- exact dedup (A-series north_star; SURVEY.md q_dedup_exact) -----
+    QuerySpec.sql("q_dedup_exact")(
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_dups
+        |FROM documents GROUP BY md5(text)
+        |ORDER BY content_hash""".stripMargin) { (s, dir) =>
+      Dedup.exact(Q.t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("content_hash")
+    },
+
+    // -- tokenize + word frequency (q_text_tokens) ----------------------
+    QuerySpec.sql("q_text_tokens")(
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |      FROM documents)
+        |GROUP BY word ORDER BY cnt DESC, word""".stripMargin) { (s, dir) =>
+      Q.t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+    },
+
+    // -- per-doc quality metrics (q_text_quality) -----------------------
+    QuerySpec.sql("q_text_quality")(
+      s"""WITH t AS (SELECT doc_id, text, string_split(text,' ') AS tk
+         |           FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+         |  CAST(len(list_distinct(tk)) AS DOUBLE) /
+         |    CAST(len(tk) AS DOUBLE) AS ttr,
+         |  CAST(CAST(list_sum(list_transform(tk,
+         |      x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS DOUBLE) /
+         |    CAST(len(tk) AS DOUBLE) AS mean_tok_len,
+         |  CAST(len(list_filter(tk, x -> list_contains(
+         |      [${stop.map("'" + _ + "'").mkString(",")}], x)))
+         |    AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS stopword_ratio,
+         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]'))
+         |    AS BIGINT) AS n_bpeish
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.qualityMetrics(Q.t(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "n_distinct", "ttr", "mean_tok_len",
+          "stopword_ratio", "n_bpeish")
+        .orderBy("doc_id")
+    },
+
+    // -- language-ID by marker voting (q_lang_id) -----------------------
+    QuerySpec.sql("q_lang_id") {
+      val scoreCols = TextOps.langMarkers.map { case (lang, ms) =>
+        s"""CAST(len(list_filter(tk, x -> list_contains(
+           |  [${ms.map("'" + _ + "'").mkString(",")}], x)))
+           |  AS BIGINT) AS score_$lang""".stripMargin
+      }.mkString(",\n  ")
+      val langs = TextOps.langMarkers.map(_._1)
+      val g = s"greatest(${langs.map("score_" + _).mkString(",")})"
+      val cases = langs.map(l => s"WHEN score_$l = $g THEN '$l'")
+        .mkString(" ")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk
+         |           FROM documents),
+         |s AS (SELECT doc_id, $scoreCols FROM t)
+         |SELECT doc_id,
+         |  ${langs.map("score_" + _).mkString(", ")},
+         |  CASE WHEN $g = 0 THEN 'und' $cases END AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin
+    } { (s, dir) =>
+      TextOps.langId(Q.t(s, dir, "documents"), "text")
+        .select("doc_id" +: TextOps.langMarkers.map("score_" + _._1) :+
+          "pred_lang" map col: _*)
+        .orderBy("doc_id")
+    },
+
+    // -- rolling document fingerprint (q_fingerprint) -------------------
+    QuerySpec.sql("q_fingerprint")(
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text,' '),
+        |        x -> CAST(ascii(x) AS BIGINT) * 131071 +
+        |             CAST(length(x) AS BIGINT))),
+        |    (acc, c) -> (acc * 1000003 + c) % 2147483647) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Q.t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // -- exact n-gram Jaccard near-dup pairs (q_dedup_ngram) ------------
+    // Inverted-index candidate generation (no n² pair space) + exact
+    // verification; oracle is the naive all-pairs form — same result.
+    QuerySpec.sql("q_dedup_ngram")(
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
+        |              FROM documents),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t)-1, 0)+1),
+        |    i -> t[i] || ' ' || t[i+1])) AS sh FROM toks),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+        |        CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+        |          AS BIGINT) AS n_union
+        |      FROM sets a, sets b WHERE a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, n_inter, n_union,
+        |       CAST(n_inter AS DOUBLE)/CAST(n_union AS DOUBLE) AS jaccard
+        |FROM p
+        |WHERE CAST(n_inter AS DOUBLE)/CAST(n_union AS DOUBLE) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairs(Q.t(s, dir, "documents"), "text", "doc_id",
+          n = 2, minJaccard = 0.2)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // -- MinHash-LSH near-dup (q_dedup_minhash; rows-only: xxhash64) ----
+    QuerySpec.rowsOnly("q_dedup_minhash") { (s, dir) =>
+      Dedup.minhashPairs(Q.t(s, dir, "documents"), "text", "doc_id",
+          n = 2, k = 64, bands = 16, minJaccard = 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // -- SimHash near-dup (q_dedup_simhash; rows-only: xxhash64) --------
+    QuerySpec.rowsOnly("q_dedup_simhash") { (s, dir) =>
+      Dedup.simhashPairs(Q.t(s, dir, "documents"), "text", "doc_id",
+          maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // -- brute-force cosine top-k (q_similarity_topk) -------------------
+    QuerySpec.sql("q_similarity_topk")(
+      """WITH v AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv,
+        |    x -> x*x)) AS BIGINT) AS n2 FROM v),
+        |q AS (SELECT vec_id AS query_id, qv AS qw, n2 AS m2 FROM n
+        |      WHERE vec_id < 20),
+        |s AS (SELECT q.query_id, n.vec_id AS nbr_id,
+        |        CAST(CAST(list_sum(list_transform(range(1, 65),
+        |          i -> n.qv[i]*q.qw[i])) AS BIGINT) AS DOUBLE) /
+        |          sqrt(CAST(n.n2 AS DOUBLE)*CAST(q.m2 AS DOUBLE)) AS cosine
+        |      FROM n, q WHERE n.vec_id <> q.query_id)
+        |SELECT query_id, nbr_id, cosine, rnk FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rnk
+        |  FROM s) WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val emb = Q.t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rnk")
+    },
+
+    // -- sign-LSH bucketed ANN top-k (q_similarity_bucketed) ------------
+    QuerySpec.sql("q_similarity_bucketed")(
+      """WITH v AS (SELECT vec_id, embedding, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qv,
+        |        CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT)
+        |          AS n2,
+        |        (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+        |        (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+        |        (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+        |        (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+        |        (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+        |        (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+        |        (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+        |        (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        |      FROM v),
+        |q AS (SELECT vec_id AS query_id, qv AS qw, n2 AS m2, bucket
+        |      FROM n WHERE vec_id < 20),
+        |s AS (SELECT q.query_id, n.vec_id AS nbr_id,
+        |        CAST(CAST(list_sum(list_transform(range(1, 65),
+        |          i -> n.qv[i]*q.qw[i])) AS BIGINT) AS DOUBLE) /
+        |          sqrt(CAST(n.n2 AS DOUBLE)*CAST(q.m2 AS DOUBLE)) AS cosine
+        |      FROM n JOIN q ON n.bucket = q.bucket
+        |      WHERE n.vec_id <> q.query_id)
+        |SELECT query_id, nbr_id, cosine, rnk FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rnk
+        |  FROM s) WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val emb = Q.t(s, dir, "embeddings")
+      Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, bits = 8)
+        .orderBy("query_id", "rnk")
+    }
+  )
 }

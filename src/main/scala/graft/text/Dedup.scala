@@ -1,0 +1,170 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Near-duplicate detection: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB): nothing here ever materializes the n² pair
+  * space. Candidate pairs come from equality joins on discrete keys
+  * (shingle postings, MinHash band buckets, SimHash bands) — each is a
+  * plain shuffle-on-key join Catalyst/AQE handles, with skew bounded by
+  * dropping ultra-common postings (`maxDf`). Verification re-joins the
+  * per-doc shingle sets only for the surviving candidates.
+  */
+object Dedup {
+
+  /** Exact dedup groups via content hash: (hash, keep_id = min id,
+    * n_dups). Deterministic survivor — dropDuplicates picks an arbitrary
+    * row per partition-race (SURVEY.md §5).
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextOps.contentHash(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Per-doc distinct word-n-gram shingle sets. */
+  def shingleSets(df: DataFrame, textCol: String, idCol: String,
+                  n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      TextOps.shingles(TextOps.tokens(col(textCol)), n).as("sh"))
+
+  /** All pairs with n-gram Jaccard >= minJaccard — EXACT result, but
+    * computed via an inverted index (posting-list self-join) instead of a
+    * cross join: any pair with jaccard > 0 shares >= 1 shingle, so
+    * candidate generation is complete. `maxDf` drops shingles appearing
+    * in more than that many docs from *candidate generation only* —
+    * completeness holds as long as every qualifying pair shares at least
+    * one sub-threshold shingle (true here: near-dup docs share many
+    * rare shingles; at maxDf = +inf it is unconditionally exact).
+    *
+    * Output: (doc_a, doc_b, n_inter, n_union, jaccard), doc_a < doc_b.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, minJaccard: Double,
+                        maxDf: Long = Long.MaxValue): DataFrame = {
+    val sets = shingleSets(df, textCol, idCol, n).cache()
+    val postings = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val filtered =
+      if (maxDf == Long.MaxValue) postings
+      else {
+        val rare = postings.groupBy("s")
+          .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+          .select("s")
+        postings.join(rare, "s")
+      }
+    val cand = filtered.as("x")
+      .join(filtered.as("y"), col("x.s") === col("y.s") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sets, minJaccard)
+  }
+
+  /** Join candidate (doc_a, doc_b) pairs back to their shingle sets and
+    * keep those with exact Jaccard >= minJaccard.
+    */
+  def verifyJaccard(cand: DataFrame, sets: DataFrame,
+                    minJaccard: Double): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("n_union",
+        size(array_union(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("jaccard",
+        col("n_inter").cast(DoubleType) / col("n_union").cast(DoubleType))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
+
+  /** MinHash signature: sig[j] = min over shingles of xxhash64(j, sh),
+    * j = 0 until k. One narrow projection — the k hash families are just
+    * k seeds into the same codegen'd xxhash64.
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(sh, s => xxhash64(j, s))))
+
+  /** LSH banding: split the k-wide signature into `bands` bands of
+    * k/bands rows; bucket key = hash of the band slice. Docs colliding in
+    * any band become candidates. Probability a pair with Jaccard j
+    * collides: 1 - (1 - j^r)^b.
+    */
+  def minhashCandidates(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, s"bands=$bands must divide k=$k")
+    val banded = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)))))
+        .as(Seq("band", "bucket")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
+    * join → exact-Jaccard verification of the candidates.
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   n: Int, k: Int, bands: Int,
+                   minJaccard: Double): DataFrame = {
+    val sets = shingleSets(df, textCol, idCol, n).cache()
+    val sigs = sets.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
+    verifyJaccard(minhashCandidates(sigs, k, bands), sets, minJaccard)
+  }
+
+  /** 64-bit SimHash over the token bag: bit i of the hash of each token
+    * votes +1/-1; the sign of the tally is bit i of the fingerprint.
+    * Computed per-row with higher-order functions — no shuffle, no UDF.
+    */
+  def simhash(toks: Column): Column = {
+    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
+    val tallies = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc, masks,
+        (a, m) => a + when(xxhash64(t).bitwiseAND(m) =!= 0L, 1L)
+          .otherwise(-1L)))
+    aggregate(
+      zip_with(tallies, masks, (v, m) => when(v > 0, m).otherwise(0L)),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming, via the
+    * standard 4x16-bit band trick: distance <= 3 implies at least one of
+    * the 4 bands matches exactly, so candidates come from 4 equality
+    * joins (union'd), then exact popcount verification.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-band scheme guarantees recall only to 3")
+    val fps = df.select(col(idCol).as("doc_id"),
+      simhash(TextOps.tokens(col(textCol))).as("fp")).cache()
+    val banded = fps.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map(b => struct(
+        lit(b).as("band"),
+        shiftright(col("fp"), b * 16).bitwiseAND(65535L).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("fp"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", hamming(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

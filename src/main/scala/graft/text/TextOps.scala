@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for LLM-data pipelines (north_star surface:
+  * dedup, tokenize, quality scoring, language-ID, fingerprinting).
+  *
+  * Everything is column-level composition of codegen'd built-ins — no
+  * UDFs, no driver-side loops — so at 100 TB each op is a single
+  * narrow (per-row) stage over the parquet scan; only the explicit
+  * groupBy/join ops shuffle.
+  *
+  * Cross-engine determinism: float-valued scores only ever come from
+  * integer counts divided as doubles (IEEE-exact, so the DuckDB oracle
+  * hashes identically); content hashes use md5 (identical in both
+  * engines); the rolling fingerprint is 64-bit-overflow-free modular
+  * arithmetic expressible as a fold in both engines.
+  */
+object TextOps {
+
+  /** Tokenize on single spaces — the documents table is pre-normalized
+    * space-separated text. (For raw text, compose with a regexp_replace
+    * normalization first.)
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word-n-gram shingles; empty array when the doc is shorter
+    * than n tokens (guard keeps Spark's descending-sequence quirk out).
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val mk = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
+    array_distinct(when(size(toks) >= n, mk).otherwise(array()))
+  }
+
+  /** Exact content dedup key. */
+  def contentHash(text: Column): Column = md5(text)
+
+  /** Per-doc quality metrics (all exact): token count, distinct tokens,
+    * type-token ratio, mean token length, stopword ratio, and a BPE-ish
+    * regex token count (words + single non-space punctuation marks).
+    */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val stop = Seq("a", "an", "the", "of", "and", "or", "in", "on")
+    df.withColumn("n_tokens", size(toks).cast(LongType))
+      .withColumn("n_distinct", size(array_distinct(toks)).cast(LongType))
+      .withColumn("ttr", col("n_distinct").cast(DoubleType) /
+        col("n_tokens").cast(DoubleType))
+      .withColumn("mean_tok_len",
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+          .cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("stopword_ratio",
+        size(filter(toks, t => t.isin(stop: _*))).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType))
+      .withColumn("n_bpeish",
+        size(regexp_extract_all(col(textCol),
+          lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0))).cast(LongType))
+  }
+
+  /** Language-ID by marker-stopword voting: score per language = number
+    * of tokens in that language's closed-class marker list; prediction =
+    * argmax with a fixed tiebreak order (the order of `markers`).
+    * Deterministic, SQL-expressible, and the standard cheap heuristic
+    * when a real n-gram model isn't warranted.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "un"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "que", "une", "dans"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "ni", "ta", "men"))
+
+  def langScores(toks: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, ms) =>
+      lang -> size(filter(toks, t => t.isin(ms: _*))).cast(LongType)
+    }
+
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = langScores(toks).foldLeft(df) { case (d, (lang, c)) =>
+      d.withColumn(s"score_$lang", c)
+    }
+    // argmax with first-wins tiebreak, as a chain of when()s over the
+    // running max — identical to the oracle's nested CASE.
+    val best = langMarkers.map(_._1).tail.foldLeft(
+      (lit("en"), col("score_en"))) { case ((bl, bs), lang) =>
+      val s = col(s"score_$lang")
+      (when(s > bs, lit(lang)).otherwise(bl), greatest(bs, s))
+    }
+    scored.withColumn("pred_lang",
+      when(best._2 > 0, best._1).otherwise(lit("und")))
+  }
+
+  /** Rolling polynomial fingerprint over the token stream:
+    * fp = fold(acc * 1000003 + code(tok)) mod 2147483647, with
+    * code(tok) = ascii(first char) * 131071 + length(tok).
+    * acc < 2^31 keeps the multiply < 2^51 — no 64-bit overflow, so the
+    * DuckDB list_reduce oracle is bit-identical. Order-sensitive by
+    * design (it fingerprints the sequence, not the bag).
+    */
+  def fingerprint(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    val codes = transform(toks, t =>
+      (ascii(t) * lit(131071L)) + length(t).cast(LongType))
+    aggregate(codes, lit(0L),
+      (acc, c) => pmod(acc * lit(1000003L) + c, lit(2147483647L)))
+  }
+}
