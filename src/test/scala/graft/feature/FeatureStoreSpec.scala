@@ -1,0 +1,70 @@
+package graft.feature
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FeatureStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def withStore(f: FeatureStore => Unit): Unit = {
+    val root = Files.createTempDirectory("fstest").toString
+    f(new FeatureStore(spark, root))
+  }
+
+  test("registry DDL: create, list, delete (A13/A23)") {
+    withStore { fs =>
+      fs.createEntityType(EntityTypeDef("users", "user_id",
+        Seq(FeatureDef("rating", "INT", "latest rating"))))
+      fs.createEntityType(EntityTypeDef("items", "item_id", Seq.empty))
+      assert(fs.listEntityTypes() == Seq("items", "users"))
+      fs.deleteEntityType("items")
+      assert(fs.listEntityTypes() == Seq("users"))
+    }
+  }
+
+  test("bulk import stamps feature_ts and appends (A14)") {
+    withStore { fs =>
+      fs.createEntityType(EntityTypeDef("users", "user_id", Seq.empty))
+      val batch = Seq((1L, 5.0), (2L, 3.0)).toDF("user_id", "rating")
+      fs.importFeatureValues("users", batch, "user_id",
+        Some(ts("2024-01-01 00:00:00")))
+      fs.importFeatureValues("users", batch.withColumn("rating",
+        $"rating" + 1), "user_id", Some(ts("2024-02-01 00:00:00")))
+      val vals = fs.readValues("users")
+      assert(vals.count() == 4) // append-only: both versions kept
+      assert(vals.select("feature_ts").distinct().count() == 2)
+    }
+  }
+
+  test("point-in-time retrieval never reads the future; online view " +
+      "returns the newest import (A15)") {
+    withStore { fs =>
+      fs.createEntityType(EntityTypeDef("users", "user_id", Seq.empty))
+      fs.importFeatureValues("users",
+        Seq((1L, 10.0)).toDF("user_id", "rating"), "user_id",
+        Some(ts("2024-01-01 00:00:00")))
+      fs.importFeatureValues("users",
+        Seq((1L, 20.0)).toDF("user_id", "rating"), "user_id",
+        Some(ts("2024-03-01 00:00:00")))
+      val queries = Seq(
+        (1L, ts("2024-02-01 00:00:00")),  // between imports -> 10.0
+        (1L, ts("2024-04-01 00:00:00")))  // after both -> 20.0
+        .toDF("user_id", "as_of")
+      val pit = fs.pointInTime("users", queries, "user_id", "as_of",
+          Seq("rating"))
+        .select("as_of", "asof_rating")
+        .as[(Timestamp, Double)].collect().toMap
+      assert(pit == Map(ts("2024-02-01 00:00:00") -> 10.0,
+        ts("2024-04-01 00:00:00") -> 20.0))
+      val online = fs.latestOnlineView("users", "user_id", "rating")
+        .select("user_id", "rating").as[(Long, Double)].collect().toSet
+      assert(online == Set((1L, 20.0)))
+    }
+  }
+}

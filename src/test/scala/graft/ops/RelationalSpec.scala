@@ -1,0 +1,84 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin: inclusive boundary, latest-wins, missing entity -> null") {
+    val queries = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // exactly at a feature ts
+      (1L, ts("2024-01-01 09:59:59")), // just before -> earlier value
+      (2L, ts("2024-01-01 12:00:00")), // after both -> latest
+      (3L, ts("2024-01-01 12:00:00"))) // no features at all
+      .toDF("uid", "qts")
+    val feats = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10.0),
+      (1L, ts("2024-01-01 10:00:00"), 20.0),
+      (2L, ts("2024-01-01 08:00:00"), 1.0),
+      (2L, ts("2024-01-01 11:00:00"), 2.0))
+      .toDF("uid", "fts", "value")
+    val out = Relational.asofJoin(queries, feats, "uid", "qts", "fts",
+        Seq("value"))
+      .select($"uid", $"qts", $"asof_value")
+      .as[(Long, Timestamp, Option[Double])].collect().toSet
+    assert(out == Set(
+      (1L, ts("2024-01-01 10:00:00"), Some(20.0)),
+      (1L, ts("2024-01-01 09:59:59"), Some(10.0)),
+      (2L, ts("2024-01-01 12:00:00"), Some(2.0)),
+      (3L, ts("2024-01-01 12:00:00"), None)))
+  }
+
+  test("asofJoin never reads the future (property over events)") {
+    val events = graft.io.Tables
+      .table(spark, "/root/testdata/sf0.001", "events")
+    val left = events.select($"user_id", $"ts".as("qts")).limit(200)
+    val right = events.select($"user_id", $"ts".as("fts"),
+      $"ts".as("seen_ts"), $"value")
+    val joined = Relational.asofJoin(left, right, "user_id", "qts", "fts",
+      Seq("seen_ts", "value"))
+    val violations = joined
+      .filter($"asof_seen_ts".isNotNull && $"asof_seen_ts" > $"qts")
+      .count()
+    assert(violations == 0)
+  }
+
+  test("latestPerKey returns one row per key, the newest") {
+    val df = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "old"),
+      (1L, ts("2024-01-01 10:00:00"), "new"),
+      (2L, ts("2024-01-01 08:00:00"), "only"))
+      .toDF("uid", "fts", "v")
+    val out = Relational.latestPerKey(df, "uid", "fts", "v")
+      .select("uid", "v").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "new"), (2L, "only")))
+  }
+
+  test("sessionize splits on gaps strictly greater than the threshold") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:00:30"), 2L), // 30s gap -> same session
+      (1L, ts("2024-01-01 10:01:30"), 3L), // 60s gap (== gap) -> same
+      (1L, ts("2024-01-01 10:02:31"), 4L), // 61s gap -> new session
+      (2L, ts("2024-01-01 10:00:00"), 5L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Relational.sessionize(df, "user_id", "ts", "event_id", 60L)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("topKPerGroup caps rows per group with deterministic rank") {
+    val df = Seq(("a", 3L, 1L), ("a", 2L, 2L), ("a", 1L, 3L), ("b", 9L, 4L))
+      .toDF("g", "score", "id")
+    val out = Relational.topKPerGroup(df, Seq($"g"),
+        Seq($"score".desc, $"id"), 2)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(out == Set(("a", 1L), ("a", 2L), ("b", 4L)))
+  }
+}
