@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ml.{LinUcb, RankKFactorizer, Simulation}
+import graft.text.Similarity
+
+/** ML-adjacent operators (SURVEY.md §7 step 8): the LinUCB sufficient-
+  * statistics aggregation gets a full DuckDB oracle via quantized-integer
+  * arithmetic; the iterative ALS/training/scoring pipelines are rows-only
+  * (not SQL-expressible) and covered by MlSpec instead.
+  */
+object MlQueries {
+
+  /** Synthetic ratings derived from events (testdata has no ratings
+    * table): item = hashed event_type, rating = value. Deterministic.
+    */
+  private def syntheticRatings(s: org.apache.spark.sql.SparkSession,
+                               dir: String) =
+    Q.t(s, dir, "events").select(
+      col("user_id").cast(IntegerType).as("user_id"),
+      pmod(xxhash64(col("event_type")), lit(50L)).cast(IntegerType)
+        .as("item_id"),
+      col("value").cast(FloatType).as("rating"))
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // -- LinUCB sufficient statistics, oracle-checked (A17 core) --------
+    // Per action a: A_a = Σ x xᵀ and b_a = Σ r·x over quantized-integer
+    // observations — the aggregation heart of LinUCB training, exact in
+    // both engines. Output: one row per (action, part, i, j) cell.
+    QuerySpec.sql("q_linucb_stats")(
+      """WITH v AS (SELECT label AS action,
+        |    list_transform(embedding[1:4],
+        |      x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS x,
+        |    CAST(floor(CAST(embedding[5] AS DOUBLE)*1e6) AS BIGINT) AS r
+        |  FROM embeddings),
+        |idx AS (SELECT unnest(range(4)) AS i),
+        |xx AS (SELECT action, 'xx' AS part, a.i AS i, b.i AS j,
+        |    CAST(sum(v.x[a.i+1] * v.x[b.i+1]) AS BIGINT) AS s
+        |  FROM v, idx a, idx b GROUP BY action, a.i, b.i),
+        |bx AS (SELECT action, 'bx' AS part, a.i AS i,
+        |    CAST(-1 AS BIGINT) AS j,
+        |    CAST(sum(v.r * v.x[a.i+1]) AS BIGINT) AS s
+        |  FROM v, idx a GROUP BY action, a.i)
+        |SELECT action, part, i, j, s
+        |FROM (SELECT * FROM xx UNION ALL SELECT * FROM bx)
+        |ORDER BY action, part, i, j""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val v = Q.t(s, dir, "embeddings").select(
+        col("label").cast(IntegerType).as("action"),
+        transform(slice(col("embedding"), 1, 4), Similarity.quant(_))
+          .cast(ArrayType(DoubleType)).as("x"),
+        Similarity.quant(element_at(col("embedding"), 5))
+          .cast(DoubleType).as("reward"))
+      val stats = LinUcb.sufficientStats(v, "action", "x", "reward", 4)
+      val xx = stats.select(col("action"), lit("xx").as("part"),
+          posexplode(col("stats.xx")).as(Seq("pos", "v")))
+        .select(col("action"), col("part"),
+          (col("pos") / 4).cast(LongType).as("i"),
+          pmod(col("pos"), lit(4)).cast(LongType).as("j"),
+          col("v").cast(LongType).as("s"))
+      val bx = stats.select(col("action"), lit("bx").as("part"),
+          posexplode(col("stats.bx")).as(Seq("pos", "v")))
+        .select(col("action"), col("part"),
+          col("pos").cast(LongType).as("i"), lit(-1L).as("j"),
+          col("v").cast(LongType).as("s"))
+      xx.unionByName(bx).orderBy("action", "part", "i", "j")
+    },
+
+    // -- full bandit loop: ALS env → simulate → train → score (A12/A17/
+    // A19; rows-only — iterative MLlib pipeline) ------------------------
+    QuerySpec.rowsOnly("q_bandit_loop") { (s, dir) =>
+      val ratings = syntheticRatings(s, dir)
+      val factors = RankKFactorizer.factorize(ratings, rank = 8,
+        seed = 42L, maxIter = 5)
+      val traj = Simulation.generateTrajectories(s, factors,
+        steps = 50, batchSize = 8, numActions = 20, seed = 42L)
+      val flat = Simulation.flattenForTraining(traj)
+      val model = LinUcb.fit(flat, "action", "obs", "reward", dim = 8,
+        alpha = 0.5, lambda = 1.0)
+      LinUcb.score(model, flat, "obs")
+        .groupBy("predicted_action")
+        .agg(count(lit(1)).as("n"),
+          sum(col("reward").cast(DecimalType(18, 6))).cast(DoubleType)
+            .as("sum_reward"))
+        .orderBy("predicted_action")
+    }
+  )
+}

@@ -52,7 +52,7 @@ object Queries {
   /** Ordered list — order is presentation-only, the driver maps by name. */
   def all: Seq[QuerySpec] =
     RelationalQueries.specs ++ FunctionQueries.specs ++
-      FeatureQueries.specs ++ TextQueries.specs
+      FeatureQueries.specs ++ TextQueries.specs ++ MlQueries.specs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
