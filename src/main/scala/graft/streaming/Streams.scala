@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming surface mirroring the reference's feedback loop
+  * (SURVEY.md A20-A22): Pub/Sub topics → streaming sources; the logger
+  * Cloud Function's append-to-BigQuery → `foreachBatch` append sink; the
+  * 5-min simulator cron / 30-min retrain schedule → `Trigger
+  * .ProcessingTime`; at-least-once append semantics preserved
+  * (logger/main.py:126 does no dedup).
+  *
+  * 100 TB/day design notes: all aggregations here are watermark-bounded
+  * (state is evicted, never unbounded); per-key state in
+  * [[runningUserStats]] is fixed-size; sinks are partitioned parquet
+  * appends which scale horizontally with executor count.
+  */
+object Streams {
+
+  /** Tumbling or sliding event-time window aggregation with a watermark
+    * bounding state and dropping late data.
+    */
+  def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
+                  valueCol: String, windowDur: String,
+                  slideDur: Option[String] = None,
+                  watermark: String = "10 minutes"): DataFrame = {
+    val win = slideDur match {
+      case Some(s) => window(col(tsCol), windowDur, s)
+      case None => window(col(tsCol), windowDur)
+    }
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(win.as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col(keyCol), col("n"),
+        col("sum_value"))
+  }
+
+  /** Gap-based session windows (streaming twin of
+    * Relational.sessionize).
+    */
+  def sessionAgg(events: DataFrame, tsCol: String, keyCol: String,
+                 gap: String, watermark: String = "10 minutes")
+      : DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col(keyCol), col("n"))
+
+  /** Per-user running aggregates via explicit keyed state — the
+    * `mapGroupsWithState` form for logic window functions can't express.
+    * State is a fixed-size (count, sum) pair per key; processing-time
+    * timeout evicts idle keys so state never grows unboundedly.
+    */
+  final case class UserStats(userId: Long, n: Long, sum: Double)
+
+  /** Pass `idleTimeout` (e.g. "1 hour") in production so idle keys are
+    * evicted; None keeps state forever (fine for tests / bounded keys).
+    */
+  def runningUserStats(events: Dataset[(Long, Double)],
+                       idleTimeout: Option[String] = None)
+      : Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = idleTimeout
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserStats, UserStats](timeoutConf) {
+        case (uid, rows, state: GroupState[UserStats]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            s
+          } else {
+            val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
+            var n = prev.n
+            var sum = prev.sum
+            rows.foreach { r => n += 1; sum += r._2 }
+            val next = UserStats(uid, n, sum)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
+          }
+      }
+  }
+
+  /** The logger loop sink (A3/A20): every micro-batch appends to a
+    * parquet training table — at-least-once, append-only, no dedup,
+    * exactly mirroring logger/main.py:107-150. `trigger` defaults to the
+    * reference's 5-minute simulator cadence (notebook.ipynb:1025).
+    */
+  def appendLoop(stream: DataFrame, path: String, checkpoint: String,
+                 trigger: Trigger =
+                   Trigger.ProcessingTime("5 minutes")): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        batch.write.mode("append").parquet(path)
+      }
+      .start()
+
+  /** Scheduled retraining loop (A22, notebook.ipynb:1199 — cron
+    * every-30-min): each trigger re-fits on the accumulated training
+    * table and persists the refreshed model — `foreachBatch` over the
+    * stream of *new* rows, retrain over the *full* table, as the
+    * reference pipeline does (full re-ingest + re-train each run).
+    */
+  def retrainLoop(newRows: DataFrame, trainingPath: String,
+                  modelPath: String, checkpoint: String, dim: Int,
+                  trigger: Trigger =
+                    Trigger.ProcessingTime("30 minutes")): StreamingQuery =
+    newRows.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val spark = batch.sparkSession
+        batch.write.mode("append").parquet(trainingPath)
+        val full = spark.read.parquet(trainingPath)
+        val model = graft.ml.LinUcb.fit(full, "action", "obs", "reward",
+          dim)
+        graft.ml.LinUcb.save(spark, model, modelPath)
+      }
+      .start()
+
+  /** Streaming batch scorer + publish (A19/A20): score each micro-batch
+    * with the current model and append predictions to a JSON "topic"
+    * directory (the in-repo stand-in for Pub/Sub publish,
+    * prediction_container/main.py:38-58).
+    */
+  def scoreAndPublish(stream: DataFrame, model: graft.ml.LinUcb.Model,
+                      obsCol: String, topicPath: String,
+                      checkpoint: String,
+                      trigger: Trigger = Trigger.ProcessingTime("0 seconds"))
+      : StreamingQuery =
+    graft.ml.LinUcb.score(model, stream, obsCol)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .format("json")
+      .option("path", topicPath)
+      .start()
+}

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed agg with watermark drops late data past the bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val agg = Streams.windowedAgg(
+      in.toDF().toDF("ts", "user_id", "value"),
+      "ts", "user_id", "value", "10 minutes", watermark = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode("update").start()
+    try {
+      in.addData((ts("2024-01-01 10:01:00"), 1L, 2.0),
+        (ts("2024-01-01 10:02:00"), 1L, 3.0),
+        (ts("2024-01-01 10:30:00"), 2L, 1.0)) // advances watermark to 10:25
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:03:00"), 1L, 100.0)) // late: dropped
+      q.processAllAvailable()
+      val rows = spark.table("winagg")
+        .groupBy("window_start", "user_id")
+        .agg(max("n").as("n"), max("sum_value").as("s"))
+        .as[(Timestamp, Long, Long, Double)].collect().toSet
+      assert(rows.contains((ts("2024-01-01 10:00:00"), 1L, 2L, 5.0)))
+      assert(!rows.exists(_._4 > 5.0)) // the 100.0 never lands
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = Streams.sessionAgg(in.toDF().toDF("ts", "user_id"),
+      "ts", "user_id", gap = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("sessagg")
+      .outputMode("complete").start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:03:00"), 1L),   // same session
+        (ts("2024-01-01 11:00:00"), 1L))   // new session
+      q.processAllAvailable()
+      val sessions = spark.table("sessagg")
+        .select("user_id", "n").as[(Long, Long)].collect().toSeq.sorted
+      assert(sessions == Seq((1L, 1L), (1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("runningUserStats keeps per-key state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val q = Streams.runningUserStats(in.toDS())
+      .writeStream.format("memory").queryName("ustats")
+      .outputMode("update").start()
+    try {
+      in.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+      q.processAllAvailable()
+      in.addData((1L, 3.0))
+      q.processAllAvailable()
+      val last = spark.table("ustats")
+        .groupBy("userId").agg(max("n").as("n"), max("sum").as("sum"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(last == Set((1L, 3L, 6.0), (2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("appendLoop: at-least-once append-only growth (A3 logger loop)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("loop").toString
+    val in = MemoryStream[(Long, Double)]
+    val q = Streams.appendLoop(in.toDF().toDF("user_id", "reward"),
+      s"$dir/table", s"$dir/ckpt", Trigger.ProcessingTime("0 seconds"))
+    try {
+      in.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/table").count() == 2)
+      in.addData((3L, 3.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/table").count() == 3)
+    } finally q.stop()
+  }
+
+  test("retrainLoop re-fits and persists the model each trigger (A22)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("retrain").toString
+    val in = MemoryStream[(Int, Seq[Double], Double)]
+    val q = Streams.retrainLoop(
+      in.toDF().toDF("action", "obs", "reward"),
+      s"$dir/train", s"$dir/model", s"$dir/ckpt", dim = 2,
+      Trigger.ProcessingTime("0 seconds"))
+    try {
+      in.addData((0, Seq(1.0, 0.0), 1.0), (1, Seq(0.0, 1.0), 2.0))
+      q.processAllAvailable()
+      val m1 = graft.ml.LinUcb.load(spark, s"$dir/model")
+      assert(m1.actions.map(_.action) == Seq(0, 1))
+      in.addData((2, Seq(1.0, 1.0), 3.0))
+      q.processAllAvailable()
+      val m2 = graft.ml.LinUcb.load(spark, s"$dir/model")
+      assert(m2.actions.map(_.action) == Seq(0, 1, 2))
+      assert(spark.read.parquet(s"$dir/train").count() == 3)
+    } finally q.stop()
+  }
+
+  test("scoreAndPublish writes scored predictions to the topic path") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("publish").toString
+    val model = graft.ml.LinUcb.fit(
+      Seq((0, Seq(1.0, 0.0), 1.0), (1, Seq(0.0, 1.0), 5.0))
+        .toDF("action", "obs", "reward"),
+      "action", "obs", "reward", dim = 2, alpha = 0.0)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.scoreAndPublish(in.toDF().toDF("id", "obs"), model,
+      "obs", s"$dir/topic", s"$dir/ckpt", Trigger.ProcessingTime("0 seconds"))
+    try {
+      in.addData((1L, Seq(0.0, 2.0)), (2L, Seq(2.0, 0.0)))
+      q.processAllAvailable()
+      val out = spark.read.json(s"$dir/topic")
+        .select("id", "predicted_action")
+        .as[(Long, Long)].collect().toMap
+      assert(out == Map(1L -> 1L, 2L -> 0L))
+    } finally q.stop()
+  }
+}
