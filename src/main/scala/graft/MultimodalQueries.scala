@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.multimodal.Media
+
+/** Multimodal-column operators over the synthetic media table derived
+  * from documents (multimodal/Media.scala). The declarative plumbing
+  * (schema derivation, metadata aggregation, frame-sample fan-out) is
+  * oracle-checked; the stub-codec feature extraction is rows-only.
+  */
+object MultimodalQueries {
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // -- typed-metadata aggregation over binary media columns -----------
+    QuerySpec.sql("q_media_meta")(
+      """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       count(*) AS n,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT)
+        |         AS total_bytes,
+        |       CAST(sum(doc_id % 64 * 16 + 64) AS BIGINT) AS sum_width
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin) {
+      (s, dir) =>
+        Media.syntheticFromDocuments(Q.t(s, dir, "documents"))
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n"),
+            sum(octet_length(col("bytes"))).as("total_bytes"),
+            sum(col("meta.width")).cast(LongType).as("sum_width"))
+          .orderBy("kind")
+    },
+
+    // -- video frame-sample fan-out (declarative explode) ---------------
+    QuerySpec.sql("q_frame_sample")(
+      """SELECT doc_id AS media_id, CAST(i/1000 AS BIGINT) AS frame_idx,
+        |       CAST(i AS BIGINT) AS frame_ts_ms
+        |FROM (SELECT doc_id,
+        |        unnest(range(0, n_chars*40 + 1, 1000)) AS i
+        |      FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      Media.sampleFrames(
+          Media.syntheticFromDocuments(Q.t(s, dir, "documents")),
+          everyMs = 1000L)
+        .select("media_id", "frame_idx", "frame_ts_ms")
+        .orderBy("media_id", "frame_idx")
+    },
+
+    // -- batched stub-codec feature extraction (rows-only) --------------
+    QuerySpec.rowsOnly("q_media_features") { (s, dir) =>
+      val media = Media.syntheticFromDocuments(Q.t(s, dir, "documents"))
+      Media.extractFeatures(media, Media.StubCodec, dim = 16)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          sum(size(col("features"))).as("total_dims"))
+        .orderBy("kind")
+    }
+  )
+}

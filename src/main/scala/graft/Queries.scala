@@ -52,7 +52,8 @@ object Queries {
   /** Ordered list — order is presentation-only, the driver maps by name. */
   def all: Seq[QuerySpec] =
     RelationalQueries.specs ++ FunctionQueries.specs ++
-      FeatureQueries.specs ++ TextQueries.specs ++ MlQueries.specs
+      FeatureQueries.specs ++ TextQueries.specs ++ MlQueries.specs ++
+      MultimodalQueries.specs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
