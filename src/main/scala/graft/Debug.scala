@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch profiling entry — not part of the driver contract. */
+object Debug {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val q = Queries.queries(args.headOption.getOrElse("q_dedup_ngram"))
+    val df = q(spark, dir)
+    df.explain("formatted")
+    for (i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(s"run$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
+    }
+    spark.stop()
+  }
+}

@@ -109,26 +109,31 @@ object TextQueries {
     },
 
     // -- exact n-gram Jaccard near-dup pairs (q_dedup_ngram) ------------
-    // Inverted-index candidate generation (no n² pair space) + exact
-    // verification; oracle is the naive all-pairs form — same result.
+    // Inverted-index intersection counting (no n² pair space, no
+    // distinct); oracle is the naive all-pairs form — same result.
+    // Word trigrams: vocabulary large relative to corpus → sparse
+    // posting lists (bigram postings over this 30-word vocab degenerate).
     QuerySpec.sql("q_dedup_ngram")(
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
         |              FROM documents),
         |sets AS (SELECT doc_id, list_distinct(list_transform(
-        |    range(1, greatest(len(t)-1, 0)+1),
-        |    i -> t[i] || ' ' || t[i+1])) AS sh FROM toks),
+        |    range(1, greatest(len(t)-2, 0)+1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM toks),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |        CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
         |        CAST(len(list_distinct(list_concat(a.sh, b.sh)))
         |          AS BIGINT) AS n_union
-        |      FROM sets a, sets b WHERE a.doc_id < b.doc_id)
+        |      FROM sets a, sets b
+        |      WHERE a.doc_id < b.doc_id AND len(a.sh) > 0
+        |        AND len(b.sh) > 0)
         |SELECT doc_a, doc_b, n_inter, n_union,
         |       CAST(n_inter AS DOUBLE)/CAST(n_union AS DOUBLE) AS jaccard
         |FROM p
         |WHERE CAST(n_inter AS DOUBLE)/CAST(n_union AS DOUBLE) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       Dedup.ngramJaccardPairs(Q.t(s, dir, "documents"), "text", "doc_id",
-          n = 2, minJaccard = 0.2)
+          n = 3, minJaccard = 0.2)
         .orderBy("doc_a", "doc_b")
     },
 

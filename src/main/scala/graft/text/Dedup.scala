@@ -23,42 +23,65 @@ object Dedup {
     df.groupBy(TextOps.contentHash(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Per-doc distinct word-n-gram shingle sets. */
+  /** Per-doc distinct word-n-gram shingle sets. Tokens materialize as a
+    * real column in a separate projection BEFORE the shingle lambda:
+    * element_at over an attribute is an O(1) array read, whereas an
+    * inline `split(text)` child would be re-evaluated on every lambda
+    * invocation (~3n re-splits per doc) — CollapseProject keeps the two
+    * projections apart because the token expression is non-cheap and
+    * multiply-referenced.
+    */
   def shingleSets(df: DataFrame, textCol: String, idCol: String,
                   n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
-      TextOps.shingles(TextOps.tokens(col(textCol)), n).as("sh"))
+        TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), TextOps.shingles(col("toks"), n).as("sh"))
 
-  /** All pairs with n-gram Jaccard >= minJaccard — EXACT result, but
-    * computed via an inverted index (posting-list self-join) instead of a
-    * cross join: any pair with jaccard > 0 shares >= 1 shingle, so
-    * candidate generation is complete. `maxDf` drops shingles appearing
-    * in more than that many docs from *candidate generation only* —
-    * completeness holds as long as every qualifying pair shares at least
-    * one sub-threshold shingle (true here: near-dup docs share many
-    * rare shingles; at maxDf = +inf it is unconditionally exact).
+  /** All pairs with n-gram Jaccard >= minJaccard — EXACT result via an
+    * inverted index: each shared shingle contributes exactly one row to
+    * the posting-list self-join, so |a ∩ b| is a plain groupBy-count over
+    * the join output and |a ∪ b| = |a| + |b| − |a ∩ b| from the cached
+    * set sizes. No n² pair space, no distinct(), no array re-intersect.
+    *
+    * A size filter inside the join prunes hopeless pairs before the
+    * aggregation: jaccard >= t forces t·max(|a|,|b|) <= min(|a|,|b|)
+    * (checked with a 0.5 slack so double rounding can never drop an
+    * exact-boundary pair — sizes are integers).
+    *
+    * Scale: one shuffle on the shingle key (AQE splits skewed common
+    * shingles), map-side partial counts collapse the pair stream. Pick n
+    * so the shingle vocabulary is large relative to the corpus (word
+    * trigrams for prose); low-entropy vocabularies degrade any exact
+    * scheme toward n² and are what [[minhashPairs]] is for.
     *
     * Output: (doc_a, doc_b, n_inter, n_union, jaccard), doc_a < doc_b.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int, minJaccard: Double,
-                        maxDf: Long = Long.MaxValue): DataFrame = {
-    val sets = shingleSets(df, textCol, idCol, n).cache()
-    val postings = sets.select(col("doc_id"), explode(col("sh")).as("s"))
-    val filtered =
-      if (maxDf == Long.MaxValue) postings
-      else {
-        val rare = postings.groupBy("s")
-          .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-          .select("s")
-        postings.join(rare, "s")
-      }
-    val cand = filtered.as("x")
-      .join(filtered.as("y"), col("x.s") === col("y.s") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(cand, sets, minJaccard)
+                        n: Int, minJaccard: Double): DataFrame = {
+    // Persisted: the set table is tiny relative to the corpus (ids +
+    // shingle arrays) and feeds BOTH sides of the self-join — without it
+    // each side re-tokenizes the full corpus. The 100 TB analogue is
+    // materializing the shingle table once before the join stage.
+    val sized = shingleSets(df, textCol, idCol, n)
+      .select(col("doc_id"), col("sh"),
+        size(col("sh")).cast(LongType).as("sz"))
+      .filter(col("sz") > 0)
+      .persist()
+    val posts = sized.select(col("doc_id"), col("sz"),
+      explode(col("sh")).as("s"))
+    val inter = posts.as("x").join(posts.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+          col("y.sz") >= col("x.sz") * minJaccard - 0.5 &&
+          col("x.sz") >= col("y.sz") * minJaccard - 0.5)
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast(DoubleType) / col("n_union").cast(DoubleType))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
   }
 
   /** Join candidate (doc_a, doc_b) pairs back to their shingle sets and

@@ -28,11 +28,18 @@ object TextOps {
 
   /** Distinct word-n-gram shingles; empty array when the doc is shorter
     * than n tokens (guard keeps Spark's descending-sequence quirk out).
+    *
+    * Built by zipping n shifted slices of the token array rather than
+    * per-index `element_at` lambdas: a lambda body re-evaluates its
+    * non-attribute children (e.g. an inlined `split(text)`) on EVERY
+    * invocation, turning shingling into O(n·m) re-tokenizations per doc;
+    * the slice/zip form references the token expression only n+1 times
+    * per row regardless of doc length.
     */
   def shingles(toks: Column, n: Int): Column = {
-    val mk = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
+    val m = size(toks) - (n - 1)
+    val mk = (0 until n).map(j => slice(toks, lit(j + 1), m))
+      .reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
     array_distinct(when(size(toks) >= n, mk).otherwise(array()))
   }
 
