@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/session warmup (codegen, shuffle machinery, parquet footers)
+    // so per-query walls reflect steady state, not first-job setup.
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    try SparkEntry.queries.head._2(spark, sfDir).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -51,7 +51,8 @@ object Q {
 object Queries {
   /** Ordered list — order is presentation-only, the driver maps by name. */
   def all: Seq[QuerySpec] =
-    RelationalQueries.specs ++ FunctionQueries.specs ++
+    RelationalQueries.specs ++ RelationalQueries2.specs ++
+      FunctionQueries.specs ++
       FeatureQueries.specs ++ TextQueries.specs ++ MlQueries.specs ++
       MultimodalQueries.specs
 

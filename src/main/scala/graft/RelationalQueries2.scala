@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Q._
+import graft.QuerySpec.sql
+
+/** Second batch of the §2.2 relational surface: set-op ALL variants,
+  * full outer join, explicit grouping sets, RANGE window frames, cross
+  * join, and correlated scalar subqueries (Catalyst decorrelation).
+  */
+object RelationalQueries2 {
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Bag semantics: duplicates preserved per multiplicity.
+    sql("q_set_intersect_all")(
+      """SELECT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey AS nk FROM supplier)
+        |ORDER BY nk""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .intersectAll(
+          t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")
+    },
+
+    sql("q_set_except_all")(
+      """SELECT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey AS nk FROM supplier)
+        |ORDER BY nk""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .exceptAll(
+          t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")
+    },
+
+    // Full outer join; keys COALESCEd so no nullable sort columns.
+    sql("q_join_full")(
+      """SELECT COALESCE(c.c_custkey, -1) AS ck,
+        |       COALESCE(o.o_custkey, -1) AS ok,
+        |       COALESCE(o.o_orderkey, -1) AS okey
+        |FROM customer c
+        |FULL OUTER JOIN (SELECT * FROM orders
+        |                 WHERE o_totalprice > 520000) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY ck, ok, okey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 520000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), lit(-1L)).as("ck"),
+          coalesce(col("o_custkey"), lit(-1L)).as("ok"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("okey"))
+        .orderBy("ck", "ok", "okey")
+    },
+
+    // Explicit GROUPING SETS (beyond rollup/cube) + grouping_id.
+    sql("q_agg_grouping_sets")(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_linestatus), ())
+        |ORDER BY rf, ls, gid""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("n"))
+        .orderBy("rf", "ls", "gid")
+    },
+
+    // RANGE window frame over integer event-time seconds: running sum of
+    // the trailing hour per user (frame bounds by VALUE, not row count).
+    sql("q_window_range")(
+      """SELECT event_id, user_id, ts_s,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY ts_s
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |  AS DOUBLE) AS hour_sum
+        |FROM (SELECT event_id, user_id,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy("ts_s")
+        .rangeBetween(-3600L, Window.currentRow)
+      ev.withColumn("hour_sum",
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+        .select("event_id", "user_id", "ts_s", "hour_sum")
+        .orderBy("event_id")
+    },
+
+    // Cross join (tiny × tiny — the only place a cartesian is sane).
+    sql("q_join_cross")(
+      """SELECT r.r_regionkey AS rk, n.n_nationkey AS nk
+        |FROM region r CROSS JOIN nation n
+        |ORDER BY rk, nk""".stripMargin) { (s, dir) =>
+      t(s, dir, "region").select(col("r_regionkey").as("rk"))
+        .crossJoin(t(s, dir, "nation").select(col("n_nationkey").as("nk")))
+        .orderBy("rk", "nk")
+    },
+
+    // Correlated scalar subquery — Catalyst decorrelates to an aggregate
+    // + join; exact MAX so both engines agree bit-for-bit.
+    sql("q_subquery_scalar")(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
+        |                      FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.as("o").createOrReplaceTempView("graft_orders_sq")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM graft_orders_sq o
+          |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
+          |                      FROM graft_orders_sq o2
+          |                      WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }
+  )
+}
