@@ -140,7 +140,7 @@ object TextQueries {
     // -- MinHash-LSH near-dup (q_dedup_minhash; rows-only: xxhash64) ----
     QuerySpec.rowsOnly("q_dedup_minhash") { (s, dir) =>
       Dedup.minhashPairs(Q.t(s, dir, "documents"), "text", "doc_id",
-          n = 2, k = 64, bands = 16, minJaccard = 0.5)
+          n = 2, k = 32, bands = 8, minJaccard = 0.5)
         .orderBy("doc_a", "doc_b")
     },
 

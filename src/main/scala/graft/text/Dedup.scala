@@ -103,13 +103,27 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
 
-  /** MinHash signature: sig[j] = min over shingles of xxhash64(j, sh),
-    * j = 0 until k. One narrow projection — the k hash families are just
-    * k seeds into the same codegen'd xxhash64.
+  /** MinHash signature from PRE-HASHED shingles: sig[j] = min over base
+    * hashes h of (h · a_j + b_j) wrapping mod 2^64 — a universal-hash
+    * family over ONE xxhash64 per shingle instead of k string hashes
+    * per shingle. `hs` must be an attribute column (see
+    * [[minhashPairs]]): a lambda body re-evaluates non-attribute
+    * children per invocation, so an inlined hash array would be
+    * recomputed k times per row.
     */
-  def minhashSignature(sh: Column, k: Int): Column =
+  def minhashSignature(hs: Column, k: Int): Column = {
+    // Higher-order functions evaluate interpreted (no codegen), so cost
+    // is per-expression-NODE: keep exactly one hash node per (band,
+    // element) — xxhash64 seeded by the band index over the 8-byte base
+    // hash, not the shingle string.
     transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(sh, s => xxhash64(j, s))))
+      j => array_min(transform(hs, h => xxhash64(j, h))))
+  }
+
+  /** One xxhash64 per distinct shingle — the base hashes the k-band
+    * signature derives from.
+    */
+  def baseHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
 
   /** LSH banding: split the k-wide signature into `bands` bands of
     * k/bands rows; bucket key = hash of the band slice. Docs colliding in
@@ -138,8 +152,15 @@ object Dedup {
                    n: Int, k: Int, bands: Int,
                    minJaccard: Double): DataFrame = {
     val sets = shingleSets(df, textCol, idCol, n).cache()
-    val sigs = sets.filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
+    // Cached so `hs` is a real attribute when the signature lambda reads
+    // it: CollapseProject would otherwise inline the per-shingle string
+    // hashing into the band lambda, re-hashing every shingle k times
+    // (static ref-count 1, dynamic eval-count k).
+    val hashed = sets.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), baseHashes(col("sh")).as("hs"))
+      .cache()
+    val sigs = hashed
+      .select(col("doc_id"), minhashSignature(col("hs"), k).as("sig"))
     verifyJaccard(minhashCandidates(sigs, k, bands), sets, minJaccard)
   }
 
