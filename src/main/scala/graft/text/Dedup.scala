@@ -166,7 +166,8 @@ object Dedup {
 
   /** 64-bit SimHash over the token bag: bit i of the hash of each token
     * votes +1/-1; the sign of the tally is bit i of the fingerprint.
-    * Computed per-row with higher-order functions — no shuffle, no UDF.
+    * Per-row array-fold form — fine for composition, but higher-order
+    * functions run interpreted; [[simhashTable]] is the codegen'd path.
     */
   def simhash(toks: Column): Column = {
     val masks = array((0 until 64).map(i => lit(1L << i)): _*)
@@ -181,6 +182,27 @@ object Dedup {
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** (doc_id, fp) via explode → 64 codegen'd vote columns → one
+    * partially-aggregated groupBy — every operator whole-stage-codegen'd
+    * and map-side combined, unlike the interpreted array-fold form.
+    * Docs with no tokens are absent from the output (they have no
+    * fingerprint to compare anyway).
+    */
+  def simhashTable(df: DataFrame, textCol: String,
+                   idCol: String): DataFrame = {
+    val toked = df.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("t"))
+    val hashed = toked.select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1L)
+        .otherwise(-1L)).as(s"v$i"))
+    val tallies = hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64).map(i =>
+        when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    tallies.select(col("doc_id"), fp.as("fp"))
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -192,8 +214,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-band scheme guarantees recall only to 3")
-    val fps = df.select(col(idCol).as("doc_id"),
-      simhash(TextOps.tokens(col(textCol))).as("fp")).cache()
+    val fps = simhashTable(df, textCol, idCol).cache()
     val banded = fps.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map(b => struct(
         lit(b).as("band"),
