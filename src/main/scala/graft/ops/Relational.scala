@@ -111,4 +111,25 @@ object Relational {
                  idCol: String): DataFrame =
     df.groupBy(dedupCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Salted equi-join for skewed keys (manual fallback where AQE skew
+    * handling can't reach, e.g. a hot entity id owning 1% of a 100 TB
+    * fact table). The skewed (large) side gets a uniform salt in
+    * [0, salts); the other side is replicated `salts` times; joining on
+    * (key, salt) splits each hot key's rows across `salts` tasks.
+    * Result is row-identical to the plain join: every left row matches
+    * exactly the replica carrying its salt. Supports inner/left joins
+    * (right/full would need the salt on the other side).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int, how: String = "inner"): DataFrame = {
+    require(how == "inner" || how == "left" || how == "left_outer",
+      s"saltedJoin supports inner/left, got $how")
+    val sl = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
+        .cast("int"))
+    val sr = right.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    sl.join(sr, Seq(key, "__salt"), how).drop("__salt")
+  }
 }
