@@ -113,6 +113,27 @@ object RelationalQueries2 {
         .orderBy("rk", "nk")
     },
 
+    // Tumbling event-time windows — the batch twin of the streaming
+    // windowed agg (streaming/Streams.windowedAgg); hour buckets align
+    // to the unix epoch in both engines.
+    sql("q_window_tumbling")(
+      """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)
+        |         AS window_start,
+        |       event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |         AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+
     // Correlated scalar subquery — Catalyst decorrelates to an aggregate
     // + join; exact MAX so both engines agree bit-for-bit.
     sql("q_subquery_scalar")(
