@@ -53,6 +53,7 @@ object Queries {
   def all: Seq[QuerySpec] =
     RelationalQueries.specs ++ RelationalQueries2.specs ++
       FunctionQueries.specs ++
+      StatsQueries.specs ++
       FeatureQueries.specs ++ TextQueries.specs ++ MlQueries.specs ++
       MultimodalQueries.specs
 

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Q._
+import graft.QuerySpec.sql
+
+/** Statistical aggregates with cross-engine-exact formulations:
+  * discrete percentiles pick actual data elements (no interpolation
+  * drift), and variance/stddev run on quantized integers through the
+  * identical IEEE expression tree on both sides (built-in stddev uses
+  * engine-specific update formulas whose float rounding differs).
+  */
+object StatsQueries {
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    sql("q_quantiles")(
+      """SELECT l_returnflag,
+        |       quantile_disc(l_quantity, 0.25) AS q25,
+        |       quantile_disc(l_quantity, 0.5) AS q50,
+        |       quantile_disc(l_quantity, 0.9) AS q90,
+        |       min(l_quantity) AS qmin, max(l_quantity) AS qmax
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+            .as("q25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+            .as("q50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)")
+            .as("q90"),
+          min(col("l_quantity")).as("qmin"),
+          max(col("l_quantity")).as("qmax"))
+        .orderBy("l_returnflag")
+    },
+
+    // Sample variance/stddev from exact integer moments: x is cents
+    // (BIGINT), Σx and Σx² are exact, and the final
+    // (Σx² − (Σx)²/n)/(n−1) runs the same IEEE ops in both engines.
+    sql("q_stats")(
+      """WITH q AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s1,
+        |    CAST(sum(x*x) AS BIGINT) AS s2
+        |  FROM q GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)
+        |     / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_cents,
+        |  sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)
+        |     / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS std_cents
+        |FROM m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val q = t(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("x"))
+      val m = q.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("bigint").as("s1"),
+        sum(col("x") * col("x")).cast("bigint").as("s2"))
+      val varE = (col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") /
+          col("n").cast("double")) / (col("n") - 1).cast("double")
+      m.select(col("l_returnflag"), col("n"), varE.as("var_cents"),
+          sqrt(varE).as("std_cents"))
+        .orderBy("l_returnflag")
+    },
+
+    // GROUP BY + HAVING over a join (restriction on the aggregate).
+    sql("q_having")(
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_spend
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) >= 12
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          Q.sumD2(col("o_totalprice")).as("total_spend"))
+        .filter(col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    }
+  )
+}
