@@ -68,6 +68,21 @@ object StatsQueries {
         .orderBy("l_returnflag")
     },
 
+    // Ordered string aggregation (listagg/string_agg equivalent).
+    sql("q_string_agg")(
+      """SELECT n_nationkey,
+        |       string_agg(c_name, '|' ORDER BY c_name) AS names
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "nation").join(t(s, dir, "customer"),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_nationkey")
+          .agg(array_join(sort_array(collect_list(col("c_name"))), "|")
+            .as("names"))
+          .orderBy("n_nationkey")
+    },
+
     // GROUP BY + HAVING over a join (restriction on the aggregate).
     sql("q_having")(
       """SELECT o_custkey, count(*) AS n_orders,

@@ -107,6 +107,27 @@ object Streams {
       }
       .start()
 
+  /** Exactly-once upgrade of [[appendLoop]] (SURVEY.md §7 "exactly-once
+    * via foreachBatch + txn sink"): each micro-batch overwrites its own
+    * `batch=<id>` partition directory, so a replayed batch after failure
+    * rewrites the same files instead of appending duplicates. Readers
+    * scan the root path as usual.
+    */
+  def idempotentAppendLoop(stream: DataFrame, path: String,
+                           checkpoint: String,
+                           trigger: Trigger =
+                             Trigger.ProcessingTime("5 minutes"))
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+      .start()
+
   /** Scheduled retraining loop (A22, notebook.ipynb:1199 — cron
     * every-30-min): each trigger re-fits on the accumulated training
     * table and persists the refreshed model — `foreachBatch` over the

@@ -90,6 +90,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idempotentAppendLoop keys output by batch id (replay-safe)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("idem").toString
+    val in = MemoryStream[(Long, Double)]
+    val q = Streams.idempotentAppendLoop(
+      in.toDF().toDF("user_id", "reward"),
+      s"$dir/table", s"$dir/ckpt", Trigger.ProcessingTime("0 seconds"))
+    try {
+      in.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      in.addData((3L, 3.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/table")
+      assert(out.count() == 3)
+      // partitioned by discovery column `batch` — one dir per micro-batch
+      assert(out.select("batch").distinct().count() == 2)
+      // simulate a replay of batch 0: rewrites, never duplicates
+      spark.createDataFrame(Seq((1L, 1.0), (2L, 2.0)))
+        .toDF("user_id", "reward")
+        .write.mode("overwrite").parquet(s"$dir/table/batch=0")
+      assert(spark.read.parquet(s"$dir/table").count() == 3)
+    } finally q.stop()
+  }
+
   test("retrainLoop re-fits and persists the model each trigger (A22)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("retrain").toString
