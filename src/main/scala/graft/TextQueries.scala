@@ -176,6 +176,33 @@ object TextQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // -- embedding-cosine near-dup pairs (exact; north_star) ------------
+    QuerySpec.sql("q_embed_pairs")(
+      """WITH v AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv,
+        |    x -> x*x)) AS BIGINT) AS n2 FROM v),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        CAST(CAST(list_sum(list_transform(range(1, 65),
+        |          i -> a.qv[i]*b.qv[i])) AS BIGINT) AS DOUBLE) /
+        |          sqrt(CAST(a.n2 AS DOUBLE)*CAST(b.n2 AS DOUBLE))
+        |          AS cosine
+        |      FROM n a, n b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Similarity.cosinePairs(Q.t(s, dir, "embeddings"), "vec_id",
+          "embedding", minCosine = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // -- sign-LSH bucketed variant (rows-only: approximate by design) ---
+    QuerySpec.rowsOnly("q_embed_pairs_lsh") { (s, dir) =>
+      Similarity.bucketedPairs(Q.t(s, dir, "embeddings"), "vec_id",
+          "embedding", minCosine = 0.3, bits = 6)
+        .orderBy("id_a", "id_b")
+    },
+
     // -- sign-LSH bucketed ANN top-k (q_similarity_bucketed) ------------
     QuerySpec.sql("q_similarity_bucketed")(
       """WITH v AS (SELECT vec_id, embedding, list_transform(embedding,
