@@ -172,7 +172,7 @@ object TextQueries {
         |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
       val emb = Q.t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
-          "vec_id", "embedding", k = 5)
+          "vec_id", "embedding", k = 5, dim = 64)
         .orderBy("query_id", "rnk")
     },
 
@@ -192,14 +192,14 @@ object TextQueries {
         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       Similarity.cosinePairs(Q.t(s, dir, "embeddings"), "vec_id",
-          "embedding", minCosine = 0.4)
+          "embedding", minCosine = 0.4, dim = 64)
         .orderBy("id_a", "id_b")
     },
 
     // -- sign-LSH bucketed variant (rows-only: approximate by design) ---
     QuerySpec.rowsOnly("q_embed_pairs_lsh") { (s, dir) =>
       Similarity.bucketedPairs(Q.t(s, dir, "embeddings"), "vec_id",
-          "embedding", minCosine = 0.3, bits = 6)
+          "embedding", minCosine = 0.3, bits = 6, dim = 64)
         .orderBy("id_a", "id_b")
     },
 
@@ -235,7 +235,7 @@ object TextQueries {
         |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
       val emb = Q.t(s, dir, "embeddings")
       Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 20),
-          "vec_id", "embedding", k = 5, bits = 8)
+          "vec_id", "embedding", k = 5, bits = 8, dim = 64)
         .orderBy("query_id", "rnk")
     }
   )

@@ -102,7 +102,7 @@ object GraftProps extends Properties("graft") {
         .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
         .toDF("vec_id", "embedding")
       val pairs = graft.text.Similarity
-        .cosinePairs(df, "vec_id", "embedding", minCosine = -2.0)
+        .cosinePairs(df, "vec_id", "embedding", minCosine = -2.0, dim = 8)
         .select("id_a", "id_b", "cosine")
         .as[(Long, Long, Double)].collect()
       pairs.forall { case (a, b, c) =>

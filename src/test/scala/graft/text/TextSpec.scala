@@ -85,7 +85,7 @@ class TextSpec extends SparkSpec {
       (3L, Seq(0f, 1f, 0f)), (4L, Seq(0.9f, 0.1f, 0f)))
       .toDF("vec_id", "embedding")
     val top = Similarity.bruteForceTopK(df,
-        df.filter($"vec_id" === 1), "vec_id", "embedding", 2)
+        df.filter($"vec_id" === 1), "vec_id", "embedding", 2, dim = 3)
       .orderBy("rnk").select("nbr_id").as[Long].collect().toSeq
     assert(top == Seq(2L, 4L))
   }
@@ -95,7 +95,7 @@ class TextSpec extends SparkSpec {
       (1L, Seq(1f, 1f, 1f, 1f)), (2L, Seq(1f, 1f, 1f, 1f)),
       (3L, Seq(-1f, -1f, -1f, -1f)))
       .toDF("vec_id", "embedding")
-    val out = Similarity.bucketedTopK(df, df, "vec_id", "embedding", 5, 4)
+    val out = Similarity.bucketedTopK(df, df, "vec_id", "embedding", 5, 4, dim = 4)
       .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L), (2L, 1L))) // 3 is alone in its bucket
   }
