@@ -77,7 +77,9 @@ object MlQueries {
         seed = 42L, maxIter = 5)
       val traj = Simulation.generateTrajectories(s, factors,
         steps = 50, batchSize = 8, numActions = 20, seed = 42L)
-      val flat = Simulation.flattenForTraining(traj)
+      // cached: feeds both the training pass and the scoring pass —
+      // without it the whole simulation DAG re-executes for scoring
+      val flat = Simulation.flattenForTraining(traj).cache()
       val model = LinUcb.fit(flat, "action", "obs", "reward", dim = 8,
         alpha = 0.5, lambda = 1.0)
       LinUcb.score(model, flat, "obs")
