@@ -137,6 +137,91 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // -- dedup clustering: pairs → connected components → canonical doc
+    // (min-label fixpoint == min-reachable-id recursive CTE) -----------
+    QuerySpec.sql("q_dedup_clusters")(
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') t
+        |  FROM documents),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t)-2, 0)+1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) sh FROM toks),
+        |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b FROM sets a, sets b
+        |      WHERE a.doc_id < b.doc_id AND len(a.sh) > 0
+        |        AND len(b.sh) > 0
+        |        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+        |e AS (SELECT doc_a s, doc_b d FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT doc_id AS node, doc_id AS root FROM documents
+        |  UNION
+        |  SELECT e.d, r.root FROM reach r JOIN e ON e.s = r.node)
+        |SELECT node AS doc_id, min(root) AS component,
+        |       (node = min(root)) AS is_canonical
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        text.Cluster.dedupClusters(Q.t(s, dir, "documents"), "text",
+            "doc_id", n = 3, minJaccard = 0.2)
+          .orderBy("doc_id")
+    },
+
+    // -- TF-IDF top terms per doc (log-free idf = N/df keeps both
+    // engines' floats identical: integer ratio + IEEE multiply) ---------
+    QuerySpec.sql("q_tfidf_top")(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) df FROM tok
+        |       GROUP BY 1),
+        |n AS (SELECT count(*) n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        CAST(tf.tf AS DOUBLE) *
+        |          (CAST(n.n AS DOUBLE)/CAST(df.df AS DOUBLE)) AS score
+        |      FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, score, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rnk FROM s)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Q.t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text")))
+          .as("term"))
+      val tf = tok.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("term")
+        .agg(countDistinct("doc_id").as("df"))
+      val n = Q.t(s, dir, "documents").count().toDouble
+      val scored = tf.join(df, "term")
+        .withColumn("score", col("tf").cast(DoubleType) *
+          (lit(n) / col("df").cast(DoubleType)))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("score"),
+          col("rnk").cast(LongType).as("rnk"))
+        .orderBy("doc_id", "rnk")
+    },
+
+    // -- inverted index: term → df + ordered posting list ---------------
+    QuerySpec.sql("q_inverted_index")(
+      """WITH tok AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split(text,' ')) term FROM documents)
+        |SELECT term, count(*) AS df,
+        |       string_agg(CAST(doc_id AS VARCHAR), ','
+        |         ORDER BY doc_id) AS postings
+        |FROM tok GROUP BY term ORDER BY term""".stripMargin) { (s, dir) =>
+      Q.t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text")))
+          .as("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          array_join(transform(sort_array(collect_list(col("doc_id"))),
+            _.cast(StringType)), ",").as("postings"))
+        .orderBy("term")
+    },
+
     // -- MinHash-LSH near-dup (q_dedup_minhash; rows-only: xxhash64) ----
     QuerySpec.rowsOnly("q_dedup_minhash") { (s, dir) =>
       Dedup.minhashPairs(Q.t(s, dir, "documents"), "text", "doc_id",
