@@ -134,6 +134,33 @@ object RelationalQueries2 {
         .orderBy("window_start", "event_type")
     },
 
+    // Ordered funnel: users whose first view precedes their first click
+    // precedes their first purchase (conditional-min event sequencing).
+    sql("q_funnel")(
+      """WITH m AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id FROM m
+        |WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+        |  AND t_buy IS NOT NULL AND t_view < t_click AND t_click < t_buy
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts")))
+            .as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts")))
+            .as("t_buy"))
+        .filter(col("t_view").isNotNull && col("t_click").isNotNull &&
+          col("t_buy").isNotNull && col("t_view") < col("t_click") &&
+          col("t_click") < col("t_buy"))
+        .select("user_id")
+        .orderBy("user_id")
+    },
+
     // Correlated scalar subquery — Catalyst decorrelates to an aggregate
     // + join; exact MAX so both engines agree bit-for-bit.
     sql("q_subquery_scalar")(

@@ -117,6 +117,28 @@ final class FeatureStore(spark: SparkSession, root: String) {
   def readValues(entityType: String): DataFrame =
     spark.read.parquet(valuesPath(entityType)).drop("__ingest_date")
 
+  /** Continuous import: every micro-batch appends feature values with
+    * their per-row event time — the streaming twin of
+    * [[importWithEventTime]], closing the logger-loop → feature-store
+    * path (A3 + A14) without a batch scheduler.
+    */
+  def streamingImport(entityType: String,
+                      stream: DataFrame, tsCol: String,
+                      checkpoint: String,
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger
+                          .ProcessingTime("5 minutes"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) => importWithEventTime(entityType, batch, tsCol)
+      }
+      .start()
+
   // ---- retrieval (A15) -----------------------------------------------
 
   /** Offline point-in-time read: for each (entity, asOfTs) query row,

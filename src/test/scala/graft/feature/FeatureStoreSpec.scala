@@ -42,6 +42,31 @@ class FeatureStoreSpec extends SparkSpec {
     }
   }
 
+  test("streamingImport appends micro-batches with event-time stamps") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    withStore { fs =>
+      fs.createEntityType(EntityTypeDef("users", "user_id", Seq.empty))
+      val root = Files.createTempDirectory("fsstream").toString
+      val in = MemoryStream[(Long, Double, Timestamp)]
+      val q = fs.streamingImport("users",
+        in.toDF().toDF("user_id", "rating", "event_ts"), "event_ts",
+        s"$root/ckpt", Trigger.ProcessingTime("0 seconds"))
+      try {
+        in.addData((1L, 5.0, ts("2024-01-01 00:00:00")))
+        q.processAllAvailable()
+        in.addData((1L, 6.0, ts("2024-02-01 00:00:00")))
+        q.processAllAvailable()
+        val vals = fs.readValues("users")
+        assert(vals.count() == 2)
+        val online = fs.latestOnlineView("users", "user_id", "rating")
+          .select("rating").as[Double].collect().toSeq
+        assert(online == Seq(6.0))
+      } finally q.stop()
+    }
+  }
+
   test("point-in-time retrieval never reads the future; online view " +
       "returns the newest import (A15)") {
     withStore { fs =>
