@@ -28,6 +28,10 @@ object Cluster {
       .distinct().cache()
     var labels = vertices.select(col("id"), col("id").as("component"))
       .cache()
+    // Labels only ever decrease (min-propagation), so Σcomponent
+    // strictly decreases until the fixpoint — convergence is one cheap
+    // aggregate per iteration, no join-with-previous needed.
+    var prevSum = labels.agg(sum("component")).collect()(0).getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -38,12 +42,11 @@ object Cluster {
       val next = labels.unionByName(candidates)
         .groupBy("id").agg(min("component").as("component"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed(
-          "component", "old"), "id")
-        .filter(col("component") =!= col("old")).count()
+      val newSum = next.agg(sum("component")).collect()(0).getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = newSum == prevSum
+      prevSum = newSum
       iter += 1
     }
     sym.unpersist()
