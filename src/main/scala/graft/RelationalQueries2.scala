@@ -134,6 +134,28 @@ object RelationalQueries2 {
         .orderBy("window_start", "event_type")
     },
 
+    // Sliding event-time windows (1h window, 30m slide): every event
+    // lands in exactly two overlapping windows.
+    sql("q_window_sliding")(
+      """SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type,
+        |       count(*) AS n
+        |FROM (SELECT event_type, ts,
+        |        unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |          time_bucket(INTERVAL '30 minutes', ts)
+        |            - INTERVAL '30 minutes']) AS ws
+        |      FROM events)
+        |WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("window_start"), col("event_type"),
+            col("n"))
+          .orderBy("window_start", "event_type")
+    },
+
     // Ordered funnel: users whose first view precedes their first click
     // precedes their first purchase (conditional-min event sequencing).
     sql("q_funnel")(
