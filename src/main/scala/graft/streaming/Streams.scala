@@ -128,6 +128,51 @@ object Streams {
       }
       .start()
 
+  /** Keyed upsert sink over plain parquet — Delta-style merge
+    * granularity without a transaction log. The table partitions by a
+    * stable hash bucket of the key; each micro-batch reads ONLY the
+    * buckets it touches, merges latest-per-key, and dynamically
+    * overwrites just those partitions. Untouched buckets are never read
+    * or rewritten, so per-batch cost scales with batch size, not table
+    * size. `numBuckets` sizes the rewrite amplification (100 TB note:
+    * thousands of buckets so one hot key rewrites ~1/buckets of the
+    * table).
+    */
+  def upsertLoop(stream: DataFrame, path: String, keyCol: String,
+                 tsCol: String, numBuckets: Int, checkpoint: String,
+                 trigger: Trigger = Trigger.ProcessingTime("5 minutes"))
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions._
+        val bucketed = batch.withColumn("__bucket",
+          pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)))
+        val touched = bucketed.select("__bucket").distinct()
+          .collect().map(_.getLong(0))
+        val existing =
+          if (new java.io.File(path).exists())
+            spark.read.parquet(path)
+              .filter(col("__bucket").isin(touched: _*))
+          else spark.emptyDataFrame
+        val unioned =
+          if (existing.isEmpty) bucketed
+          else existing.unionByName(bucketed)
+        val merged = graft.ops.Relational
+          .latestPerKey(unioned, keyCol, tsCol, tsCol)
+          // materialize BEFORE overwriting the partitions being read
+          .localCheckpoint(true)
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__bucket")
+          .parquet(path)
+      }
+      .start()
+
   /** Scheduled retraining loop (A22, notebook.ipynb:1199 — cron
     * every-30-min): each trigger re-fits on the accumulated training
     * table and persists the refreshed model — `foreachBatch` over the

@@ -114,6 +114,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertLoop merges latest-per-key, rewriting only touched " +
+      "buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("upsert").toString
+    val in = MemoryStream[(Long, Double, Timestamp)]
+    val q = Streams.upsertLoop(
+      in.toDF().toDF("user_id", "score", "updated"),
+      s"$dir/table", "user_id", "updated", numBuckets = 4,
+      s"$dir/ckpt", Trigger.ProcessingTime("0 seconds"))
+    try {
+      in.addData((1L, 1.0, ts("2024-01-01 00:00:00")),
+        (2L, 2.0, ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      in.addData((1L, 9.0, ts("2024-02-01 00:00:00")),  // update key 1
+        (3L, 3.0, ts("2024-02-01 00:00:00")))           // insert key 3
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/table")
+        .select("user_id", "score").as[(Long, Double)].collect().toSet
+      assert(out == Set((1L, 9.0), (2L, 2.0), (3L, 3.0)))
+    } finally q.stop()
+  }
+
   test("retrainLoop re-fits and persists the model each trigger (A22)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("retrain").toString
