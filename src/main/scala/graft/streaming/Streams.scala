@@ -89,6 +89,33 @@ object Streams {
       }
   }
 
+  /** Stream-stream correlation join — the streaming form of the
+    * reference's positional zip of observations with predicted actions
+    * (A11, logger/main.py:98): two live streams join on a shared id
+    * with watermarks bounding both sides' state and an event-time
+    * constraint bounding how far apart matching rows may be.
+    */
+  def correlate(left: DataFrame, right: DataFrame, key: String,
+                leftTs: String, rightTs: String, watermark: String,
+                maxDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, l(key) === r(key) &&
+      r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelay"))
+      .drop(r(key))
+  }
+
+  /** Streaming deduplication within the watermark horizon —
+    * at-least-once input (the logger loop's replay semantics) consumed
+    * effectively-once downstream; state for a key is dropped once the
+    * watermark passes it, so memory stays bounded.
+    */
+  def dedupStream(stream: DataFrame, keyCols: Seq[String],
+                  tsCol: String, watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** The logger loop sink (A3/A20): every micro-batch appends to a
     * parquet training table — at-least-once, append-only, no dedup,
     * exactly mirroring logger/main.py:107-150. `trigger` defaults to the

@@ -114,6 +114,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("correlate joins two streams on id within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val obs = MemoryStream[(Long, Timestamp, String)]
+    val act = MemoryStream[(Long, Timestamp, Long)]
+    val joined = Streams.correlate(
+      obs.toDF().toDF("req_id", "obs_ts", "payload"),
+      act.toDF().toDF("req_id", "act_ts", "action"),
+      "req_id", "obs_ts", "act_ts", watermark = "10 minutes",
+      maxDelay = "5 MINUTES")
+    val q = joined.writeStream.format("memory").queryName("corr")
+      .outputMode("append").start()
+    try {
+      obs.addData((1L, ts("2024-01-01 10:00:00"), "a"),
+        (2L, ts("2024-01-01 10:00:00"), "b"))
+      act.addData((1L, ts("2024-01-01 10:02:00"), 7L),   // within bound
+        (2L, ts("2024-01-01 10:09:00"), 8L))             // too late
+      q.processAllAvailable()
+      val rows = spark.table("corr")
+        .select("req_id", "action").as[(Long, Long)].collect().toSet
+      assert(rows == Set((1L, 7L)))
+    } finally q.stop()
+  }
+
+  test("dedupStream drops replayed keys within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val q = Streams.dedupStream(
+        in.toDF().toDF("event_id", "ts", "value"),
+        Seq("event_id"), "ts", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:00:00"), 1.0),   // same-batch replay
+        (2L, ts("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      in.addData((1L, ts("2024-01-01 10:00:00"), 1.0))  // replayed later
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
   test("upsertLoop merges latest-per-key, rewriting only touched " +
       "buckets") {
     implicit val sqlCtx = spark.sqlContext
