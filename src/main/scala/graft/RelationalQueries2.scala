@@ -134,6 +134,35 @@ object RelationalQueries2 {
         .orderBy("window_start", "event_type")
     },
 
+    // Weekly cohort retention: users bucketed by first-activity week,
+    // counted per subsequent active week. Week arithmetic stays exact:
+    // both timestamps are week-truncated, so the epoch difference is an
+    // integer multiple of 604800.
+    sql("q_cohort")(
+      """WITH f AS (SELECT user_id, min(date_trunc('week', ts)) cohort
+        |  FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) w
+        |  FROM events)
+        |SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+        |       CAST((epoch(w) - epoch(cohort))/604800 AS BIGINT)
+        |         AS week_n,
+        |       count(*) AS n
+        |FROM act JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, week_n""".stripMargin) {
+      (s, dir) =>
+        val ev = t(s, dir, "events")
+        val f = ev.groupBy("user_id")
+          .agg(min(date_trunc("week", col("ts"))).as("cohort"))
+        val act = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).as("w")).distinct()
+        act.join(f, "user_id")
+          .groupBy(col("cohort"),
+            ((unix_timestamp(col("w")) - unix_timestamp(col("cohort")))
+              / 604800L).cast("bigint").as("week_n"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("cohort", "week_n")
+    },
+
     // Sliding event-time windows (1h window, 30m slide): every event
     // lands in exactly two overlapping windows.
     sql("q_window_sliding")(
