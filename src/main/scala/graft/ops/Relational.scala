@@ -38,7 +38,10 @@ object Relational {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
-               valueCols: Seq[String]): DataFrame = {
+               valueCols: Seq[String],
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns
     // Align schemas: left payload + null feature slots, and vice versa.
     val lNorm = left
@@ -58,7 +61,11 @@ object Relational {
     val unioned = lFull.select(cols: _*).unionByName(rFull.select(cols: _*))
     // Features sort before queries at equal ts (inclusive as-of); among
     // equal-ts features the greatest value tuple wins (it sorts last).
-    val ord: Seq[Column] = col("__ts").asc +: col("__isq").asc +:
+    // direction=forward walks time descending, attaching the EARLIEST
+    // feature at-or-after each query instead (merge_asof forward).
+    val tsOrd =
+      if (direction == "backward") col("__ts").asc else col("__ts").desc
+    val ord: Seq[Column] = tsOrd +: col("__isq").asc +:
       valueCols.map(c => col(s"__v_$c").asc_nulls_first)
     val w = Window.partitionBy(col(key)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

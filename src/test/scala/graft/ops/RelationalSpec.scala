@@ -35,6 +35,26 @@ class RelationalSpec extends SparkSpec {
       (3L, ts("2024-01-01 12:00:00"), None)))
   }
 
+  test("asofJoin forward attaches the earliest at-or-after feature") {
+    val queries = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // exactly at a feature -> itself
+      (1L, ts("2024-01-01 09:00:01")), // just after 09:00 -> 10:00 row
+      (1L, ts("2024-01-01 11:00:00"))) // after all -> null
+      .toDF("uid", "qts")
+    val feats = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10.0),
+      (1L, ts("2024-01-01 10:00:00"), 20.0))
+      .toDF("uid", "fts", "value")
+    val out = Relational.asofJoin(queries, feats, "uid", "qts", "fts",
+        Seq("value"), direction = "forward")
+      .select($"qts", $"asof_value")
+      .as[(Timestamp, Option[Double])].collect().toSet
+    assert(out == Set(
+      (ts("2024-01-01 10:00:00"), Some(20.0)),
+      (ts("2024-01-01 09:00:01"), Some(20.0)),
+      (ts("2024-01-01 11:00:00"), None)))
+  }
+
   test("asofJoin never reads the future (property over events)") {
     val events = graft.io.Tables
       .table(spark, "/root/testdata/sf0.001", "events")
