@@ -134,6 +134,33 @@ object RelationalQueries2 {
         .orderBy("window_start", "event_type")
     },
 
+    // Forward as-of join: each click attaches the EARLIEST purchase
+    // at-or-after it (mirror of q_join_asof's backward retrieval).
+    sql("q_join_asof_fwd")(
+      """WITH q AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |     f AS (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |     j AS (SELECT q.event_id, q.user_id, q.ts,
+        |                  f.value AS asof_value,
+        |                  row_number() OVER (PARTITION BY q.event_id
+        |                    ORDER BY f.ts ASC, f.value DESC) AS rn
+        |           FROM q JOIN f
+        |             ON f.user_id = q.user_id AND f.ts >= q.ts)
+        |SELECT event_id, user_id, ts, asof_value FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      graft.ops.Relational.asofJoin(clicks, purchases, "user_id", "ts",
+          "ts", Seq("value"), direction = "forward")
+        .filter(col("asof_value").isNotNull)
+        .select("event_id", "user_id", "ts", "asof_value")
+        .orderBy("event_id")
+    },
+
     // Weekly cohort retention: users bucketed by first-activity week,
     // counted per subsequent active week. Week arithmetic stays exact:
     // both timestamps are week-truncated, so the epoch difference is an
