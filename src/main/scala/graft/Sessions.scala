@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Recommended SparkSession configuration for this engine at cluster
+  * scale, with the rationale each knob encodes. Local harness mains
+  * (Verify/Bench) use their own minimal conf; a production deployment
+  * starts from [[tuned]].
+  */
+object Sessions {
+
+  /** @param shufflePartitions size to ~2-3× total executor cores at the
+    *        target scale (e.g. 8192 for 1000 executors × 4 cores) so
+    *        AQE has partitions to coalesce DOWN from; too few starves
+    *        parallelism, far too many drowns the scheduler.
+    */
+  def tuned(builder: SparkSession.Builder,
+            shufflePartitions: Int): SparkSession.Builder =
+    builder
+      // AQE replans at runtime from observed stage statistics: picks
+      // broadcast joins late, coalesces small shuffle partitions, and
+      // splits skewed ones — the first line of defense at 100 TB where
+      // static estimates are always wrong somewhere.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // 10 MB default is conservative; dims in this schema (region,
+      // nation, feature registries, LinUCB models) are far below 64 MB
+      // and a broadcast join beats a shuffle join by the full shuffle.
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // 128 MB splits balance scan parallelism against per-task
+      // overhead; with maxPartitionBytes × cores ≈ executor memory the
+      // vectorized reader never forces spill on scan.
+      .config("spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
+      // zstd: ~30% smaller than snappy at similar read cost — at 100 TB
+      // the scan is IO-bound, so smaller wins.
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      // dynamic partition overwrite is what Streams.upsertLoop relies
+      // on to rewrite only touched buckets.
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.session.timeZone", "UTC")
+}

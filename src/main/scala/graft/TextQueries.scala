@@ -93,6 +93,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // -- raw-text normalization (q_text_normalize) ----------------------
+    QuerySpec.sql("q_text_normalize")(
+      """SELECT doc_id,
+        |  regexp_replace(trim(regexp_replace(lower(
+        |    source || ': ' || text), '[^a-z0-9 ]', '', 'g')),
+        |    ' +', ' ', 'g') AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Q.t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.normalize(concat(col("source"), lit(": "), col("text")))
+            .as("norm"))
+        .orderBy("doc_id")
+    },
+
+    // -- value histogram over fixed-width bins (q_histogram) ------------
+    QuerySpec.sql("q_histogram")(
+      """SELECT CAST(floor(value/50) AS BIGINT) AS bin, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
+      Q.t(s, dir, "events")
+        .groupBy(floor(col("value") / 50).cast(LongType).as("bin"))
+        .agg(count(lit(1)).as("n"), Q.sumD2(col("value")).as("sum_v"))
+        .orderBy("bin")
+    },
+
     // -- rolling document fingerprint (q_fingerprint) -------------------
     QuerySpec.sql("q_fingerprint")(
       """SELECT doc_id,

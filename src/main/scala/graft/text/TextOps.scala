@@ -21,10 +21,20 @@ import org.apache.spark.sql.types._
 object TextOps {
 
   /** Tokenize on single spaces — the documents table is pre-normalized
-    * space-separated text. (For raw text, compose with a regexp_replace
-    * normalization first.)
+    * space-separated text. (For raw text, compose with [[normalize]]
+    * first.)
     */
   def tokens(text: Column): Column = split(text, " ")
+
+  /** Raw-text normalization: lowercase, strip non-alphanumerics,
+    * collapse runs of spaces, trim. Plain-ASCII regexes behave
+    * identically under Java regex and RE2, so the DuckDB oracle
+    * matches byte-for-byte.
+    */
+  def normalize(text: Column): Column =
+    regexp_replace(
+      trim(regexp_replace(lower(text), "[^a-z0-9 ]", "")),
+      " +", " ")
 
   /** Distinct word-n-gram shingles; empty array when the doc is shorter
     * than n tokens (guard keeps Spark's descending-sequence quirk out).
