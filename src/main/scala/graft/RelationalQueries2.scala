@@ -134,6 +134,30 @@ object RelationalQueries2 {
         .orderBy("window_start", "event_type")
     },
 
+    // Positional zip-join (A11, logger/main.py:98 zip(observations,
+    // predicted_actions)): 1:1 by row position under a deterministic
+    // total order on each side.
+    sql("q_zip_position")(
+      """WITH a AS (SELECT event_id AS view_id,
+        |    row_number() OVER (ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'view'),
+        |b AS (SELECT event_id AS click_id,
+        |    row_number() OVER (ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'click')
+        |SELECT rn, view_id, click_id FROM a JOIN b USING (rn)
+        |ORDER BY rn""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      def ranked(kind: String, outCol: String) =
+        ev.filter(col("event_type") === kind)
+          .select(col("event_id").as(outCol))
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col(outCol))))
+      ranked("view", "view_id").join(ranked("click", "click_id"), "rn")
+        .select("rn", "view_id", "click_id")
+        .orderBy("rn")
+    },
+
     // Forward as-of join: each click attaches the EARLIEST purchase
     // at-or-after it (mirror of q_join_asof's backward retrieval).
     sql("q_join_asof_fwd")(
