@@ -68,6 +68,35 @@ object StatsQueries {
         .orderBy("l_returnflag")
     },
 
+    // Conditional / null-handling scalar functions.
+    sql("q_cond_funcs")(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+        |  COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS rf_or_none,
+        |  LEAST(l_quantity, 25.0) AS q_capped,
+        |  GREATEST(l_discount, l_tax) AS max_rate,
+        |  CASE WHEN l_quantity > 40 THEN 'bulk'
+        |       WHEN l_quantity > 10 THEN 'mid'
+        |       ELSE 'small' END AS size_class,
+        |  IF(l_discount > 0.05, 1, 0) AS discounted
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount
+        |""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none"))
+            .as("rf_or_none"),
+          least(col("l_quantity"), lit(25.0)).as("q_capped"),
+          greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+          when(col("l_quantity") > 40, "bulk")
+            .when(col("l_quantity") > 10, "mid")
+            .otherwise("small").as("size_class"),
+          when(col("l_discount") > 0.05, 1).otherwise(0)
+            .as("discounted"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+          "l_discount")
+    },
+
     // Ordered string aggregation (listagg/string_agg equivalent).
     sql("q_string_agg")(
       """SELECT n_nationkey,

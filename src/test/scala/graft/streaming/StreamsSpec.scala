@@ -38,6 +38,24 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows assign each event to both overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val agg = Streams.windowedAgg(
+      in.toDF().toDF("ts", "user_id", "value"),
+      "ts", "user_id", "value", "10 minutes", Some("5 minutes"))
+    val q = agg.writeStream.format("memory").queryName("slideagg")
+      .outputMode("update").start()
+    try {
+      in.addData((ts("2024-01-01 10:07:00"), 1L, 2.0))
+      q.processAllAvailable()
+      val starts = spark.table("slideagg")
+        .select("window_start").as[Timestamp].collect().toSet
+      assert(starts == Set(ts("2024-01-01 10:00:00"),
+        ts("2024-01-01 10:05:00")))
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
