@@ -134,6 +134,32 @@ object RelationalQueries2 {
         .orderBy("window_start", "event_type")
     },
 
+    // first/last/nth value window functions with explicit full frames
+    // (deterministic: window order (ts, event_id) is unique per user).
+    sql("q_window_firstlast")(
+      """SELECT event_id, user_id,
+        |  first_value(value) OVER w AS first_v,
+        |  last_value(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_v,
+        |  nth_value(value, 2) OVER w AS second_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          first(col("value")).over(w).as("first_v"),
+          last(col("value")).over(wFull).as("last_v"),
+          nth_value(col("value"), 2).over(w).as("second_v"))
+        .orderBy("event_id")
+    },
+
     // Positional zip-join (A11, logger/main.py:98 zip(observations,
     // predicted_actions)): 1:1 by row position under a deterministic
     // total order on each side.

@@ -149,6 +149,23 @@ object LinUcb {
     df.withColumn(outCol, actUdf(col(obsCol).cast("array<double>")))
   }
 
+  /** Offline policy evaluation on logged (action, obs, reward) data:
+    * match rate between the policy's greedy choice and the logged
+    * action, plus the mean logged reward on matching rows (the standard
+    * replay estimator for bandit policies — unbiased when the logging
+    * policy was uniform-random, as the reference's generator is).
+    */
+  def evaluate(model: Model, df: DataFrame, actionCol: String,
+               obsCol: String, rewardCol: String): DataFrame = {
+    val scored = score(model, df, obsCol)
+    scored.agg(
+      count(lit(1)).as("n"),
+      sum(when(col(actionCol) === col("predicted_action"), 1L)
+        .otherwise(0L)).as("n_match"),
+      avg(when(col(actionCol) === col("predicted_action"),
+        col(rewardCol))).as("replay_reward"))
+  }
+
   // ---- persistence (A18, PolicySaver.save / saved_model.load) ---------
 
   def save(spark: SparkSession, model: Model, path: String): Unit = {

@@ -45,6 +45,19 @@ class MlSpec extends SparkSpec {
     assert(scored.filter($"predicted_action" === $"want").count() == 2)
   }
 
+  test("evaluate reports match rate and replay reward") {
+    val train = Seq((0, Seq(1.0, 0.0), 2.0), (1, Seq(0.0, 1.0), 5.0))
+      .toDF("action", "x", "reward")
+    val m = LinUcb.fit(train, "action", "x", "reward", dim = 2,
+      alpha = 0.0, lambda = 1e-6)
+    // logged data: first row's action matches the policy, second doesn't
+    val logged = Seq((0, Seq(1.0, 0.0), 2.0), (0, Seq(0.0, 1.0), 9.0))
+      .toDF("action", "obs", "reward")
+    val r = LinUcb.evaluate(m, logged, "action", "obs", "reward")
+      .as[(Long, Long, Double)].head()
+    assert(r == ((2L, 1L, 2.0)))
+  }
+
   test("model save/load round-trips (A18)") {
     val df = Seq((0, Seq(1.0, 0.0), 1.0), (1, Seq(0.0, 1.0), 2.0))
       .toDF("action", "x", "reward")
