@@ -134,6 +134,21 @@ object RelationalQueries2 {
         .orderBy("window_start", "event_type")
     },
 
+    // One-pass per-column profiling (non-null + exact distinct counts).
+    sql("q_profile")(
+      """SELECT 'event_type' AS col_name, count(event_type) AS n_nonnull,
+        |       count(DISTINCT event_type) AS n_distinct FROM events
+        |UNION ALL
+        |SELECT 'user_id', count(user_id), count(DISTINCT user_id)
+        |FROM events
+        |UNION ALL
+        |SELECT 'value', count(value), count(DISTINCT value) FROM events
+        |ORDER BY col_name""".stripMargin) { (s, dir) =>
+      graft.ops.Relational.profile(t(s, dir, "events"),
+          Seq("event_type", "user_id", "value"))
+        .orderBy("col_name")
+    },
+
     // first/last/nth value window functions with explicit full frames
     // (deterministic: window order (ts, event_id) is unique per user).
     sql("q_window_firstlast")(

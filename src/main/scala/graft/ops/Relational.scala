@@ -119,6 +119,26 @@ object Relational {
     df.groupBy(dedupCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** One-pass column profiling — the data-quality sweep every ingest
+    * pipeline runs before training: per column, non-null count and
+    * exact distinct count. One wide aggregate (Catalyst expands the
+    * multi-column distinct internally), then melted to one row per
+    * column.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        count_distinct(col(c)).as(s"__d_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val melted = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"__n_$c").as("n_nonnull"),
+        col(s"__d_$c").as("n_distinct"))
+    }
+    wide.select(explode(array(melted: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_nonnull"), col("p.n_distinct"))
+  }
+
   /** Salted equi-join for skewed keys (manual fallback where AQE skew
     * handling can't reach, e.g. a hot entity id owning 1% of a 100 TB
     * fact table). The skewed (large) side gets a uniform salt in

@@ -69,6 +69,18 @@ class RelationalSpec extends SparkSpec {
     assert(violations == 0)
   }
 
+  test("asofJoin skips NULL feature values (treated as no-observation)") {
+    val queries = Seq((1L, ts("2024-01-01 12:00:00"))).toDF("uid", "qts")
+    val feats = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(10.0)),
+      (1L, ts("2024-01-01 10:00:00"), None)) // later but NULL
+      .toDF("uid", "fts", "value")
+    val out = Relational.asofJoin(queries, feats, "uid", "qts", "fts",
+        Seq("value"))
+      .select($"asof_value").as[Option[Double]].head()
+    assert(out.contains(10.0))
+  }
+
   test("latestPerKey returns one row per key, the newest") {
     val df = Seq(
       (1L, ts("2024-01-01 09:00:00"), "old"),
