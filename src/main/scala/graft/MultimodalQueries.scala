@@ -55,6 +55,18 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n"),
           sum(size(col("features"))).as("total_dims"))
         .orderBy("kind")
+    },
+
+    // -- multimodal retrieval: decode → embed → ANN top-k (rows-only;
+    // stub features, but the full cross-module pipeline is real) --------
+    QuerySpec.rowsOnly("q_media_similarity") { (s, dir) =>
+      val media = Media.syntheticFromDocuments(Q.t(s, dir, "documents"))
+      val feats = Media.extractFeatures(media, Media.StubCodec, dim = 16)
+        .select(col("media_id"), col("features"))
+      graft.text.Similarity.bruteForceTopK(feats,
+          feats.filter(col("media_id") < 10), "media_id", "features",
+          k = 3, dim = 16)
+        .orderBy("query_id", "rnk")
     }
   )
 }
