@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{Dedup, TextOps}
+
+/** Edge-case pins: empty inputs, degenerate docs, zero-duration media —
+  * the inputs a 100 TB corpus is guaranteed to contain somewhere.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalize handles empty, punctuation-only, and multi-space") {
+    val df = Seq((1L, ""), (2L, "!!! ??"), (3L, "  A  b,C  "))
+      .toDF("id", "t")
+    val out = df.select($"id", TextOps.normalize($"t").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "", 2L -> "", 3L -> "a bc"))
+  }
+
+  test("ngram pairs on an empty or all-short corpus is empty, not a " +
+      "failure") {
+    val df = Seq((1L, "a"), (2L, "b c")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(df, "text", "doc_id", 3, 0.5)
+      .count() == 0)
+    val empty = spark.emptyDataset[(Long, String)]
+      .toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(empty, "text", "doc_id", 2, 0.5)
+      .count() == 0)
+  }
+
+  test("minhash skips empty shingle sets without erroring") {
+    val df = Seq((1L, "x"), (2L, "a b c d e f"), (3L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, "text", "doc_id", 2, 32, 8, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 3L)))
+  }
+
+  test("frame sampling of a zero-duration video yields exactly one " +
+      "frame at t=0") {
+    val media = Seq((1L, "video", Array[Byte](1),
+        ("m", 1, 1, 1, 0L)))
+      .toDF("media_id", "kind", "bytes", "meta")
+      .withColumn("meta", struct(
+        col("meta._1").as("mime"), col("meta._2").as("width"),
+        col("meta._3").as("height"), col("meta._4").as("sample_rate"),
+        col("meta._5").cast("long").as("duration_ms")))
+    val frames = graft.multimodal.Media.sampleFrames(media, 1000L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(frames == Seq((1L, 0L, 0L)))
+  }
+
+  test("profile counts nulls out of n_nonnull") {
+    val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "a"))
+      .toDF("k", "v")
+    val m = graft.ops.Relational.profile(df, Seq("k", "v"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m == Map("k" -> ((2L, 2L)), "v" -> ((3L, 2L))))
+  }
+}
