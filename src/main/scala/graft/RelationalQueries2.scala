@@ -134,6 +134,33 @@ object RelationalQueries2 {
         .orderBy("window_start", "event_type")
     },
 
+    // Skew-salted join, oracle-checked against the plain join — the
+    // salt must be invisible in the result (row-identical semantics).
+    sql("q_join_salted")(
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey")
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      graft.ops.Relational.saltedJoin(orders, cust, "o_custkey",
+          salts = 8)
+        .select("o_orderkey", "o_custkey", "c_name")
+        .orderBy("o_orderkey")
+    },
+
+    // Approximate distinct via HLL sketch (DataSketches agg; no
+    // cross-engine oracle — rows-only; the exact twin is
+    // q_agg_distinct).
+    QuerySpec.rowsOnly("q_hll_sketch") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey")))
+          .as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
+
     // One-pass per-column profiling (non-null + exact distinct counts).
     sql("q_profile")(
       """SELECT 'event_type' AS col_name, count(event_type) AS n_nonnull,
