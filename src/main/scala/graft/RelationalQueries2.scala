@@ -134,6 +134,45 @@ object RelationalQueries2 {
         .orderBy("window_start", "event_type")
     },
 
+    // Time-series resampling to hourly bins with forward fill — the gap
+    // filling step of a training-feature pipeline. Bin ids divide in
+    // doubles in BOTH engines (identical IEEE division+floor), and the
+    // hour bin is insensitive to DuckDB's fractional seconds.
+    sql("q_resample_ffill")(
+      """WITH b AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)/3600) AS BIGINT) AS bin,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(bin) lo, max(bin) hi FROM b
+        |         GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(lo, hi+1)) AS bin
+        |         FROM span),
+        |j AS (SELECT g.user_id, g.bin, b.v FROM grid g
+        |      LEFT JOIN b USING (user_id, bin))
+        |SELECT user_id, bin,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS v_ffill
+        |FROM j ORDER BY user_id, bin""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = t(s, dir, "events").filter(col("user_id") < 50)
+        .groupBy(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 3600).cast("bigint")
+            .as("bin"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("v"))
+      val span = b.groupBy("user_id")
+        .agg(min("bin").as("lo"), max("bin").as("hi"))
+      val grid = span.select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"))).as("bin"))
+      val w = Window.partitionBy("user_id").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(b, Seq("user_id", "bin"), "left")
+        .withColumn("v_ffill", last(col("v"), ignoreNulls = true).over(w))
+        .select("user_id", "bin", "v_ffill")
+        .orderBy("user_id", "bin")
+    },
+
     // Skew-salted join, oracle-checked against the plain join — the
     // salt must be invisible in the result (row-identical semantics).
     sql("q_join_salted")(
