@@ -134,6 +134,26 @@ object RelationalQueries2 {
         .orderBy("window_start", "event_type")
     },
 
+    // Date arithmetic: day offsets, clamped month addition, day-of-week
+    // (aligned: DuckDB dow is 0-based Sunday, Spark dayofweek 1-based),
+    // ISO week of year.
+    sql("q_date_arith")(
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  CAST(extract(dow FROM o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(extract(week FROM o_orderdate) AS BIGINT) AS iso_week
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val d = to_date(col("o_orderdate"))
+      t(s, dir, "orders").select(
+          col("o_orderkey"),
+          date_add(d, 30).as("plus30"),
+          add_months(d, 3).as("plus3m"),
+          dayofweek(d).cast("bigint").as("dow"),
+          weekofyear(d).cast("bigint").as("iso_week"))
+        .orderBy("o_orderkey")
+    },
+
     // Time-series resampling to hourly bins with forward fill — the gap
     // filling step of a training-feature pipeline. Bin ids divide in
     // doubles in BOTH engines (identical IEEE division+floor), and the
