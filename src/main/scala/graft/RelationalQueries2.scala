@@ -134,6 +134,26 @@ object RelationalQueries2 {
         .orderBy("window_start", "event_type")
     },
 
+    // Window distribution functions: percent_rank and cume_dist are
+    // integer-ratio doubles — IEEE-identical across engines.
+    sql("q_window_dist")(
+      """SELECT c_custkey, c_mktsegment,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer").select(
+          col("c_custkey"), col("c_mktsegment"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("c_custkey")
+    },
+
     // Date arithmetic: day offsets, clamped month addition, day-of-week
     // (aligned: DuckDB dow is 0-based Sunday, Spark dayofweek 1-based),
     // ISO week of year.
