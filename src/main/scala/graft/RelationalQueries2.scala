@@ -134,6 +134,27 @@ object RelationalQueries2 {
         .orderBy("window_start", "event_type")
     },
 
+    // UNPIVOT/melt — wide metrics to (key, metric, value) rows, the
+    // inverse of q_agg_pivot.
+    sql("q_unpivot")(
+      """SELECT l_orderkey, l_linenumber, metric, value
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+        |        l_extendedprice, l_discount FROM lineitem)
+        |UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice,
+        |                              l_discount))
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount")),
+            "metric", "value")
+          .orderBy("l_orderkey", "l_linenumber", "metric", "value")
+    },
+
     // Window distribution functions: percent_rank and cume_dist are
     // integer-ratio doubles — IEEE-identical across engines.
     sql("q_window_dist")(
