@@ -134,6 +134,29 @@ object RelationalQueries2 {
         .orderBy("window_start", "event_type")
     },
 
+    // Map-typed columns: construct, extract by key, cardinality.
+    // (DuckDB map extraction yields a single-element list — [1] unwraps
+    // it to Spark's scalar element_at semantics.)
+    sql("q_map_funcs")(
+      """SELECT event_id,
+        |  map(['t','u'], [event_type, CAST(user_id AS VARCHAR)])['t'][1]
+        |    AS t_val,
+        |  map(['t','u'], [event_type, CAST(user_id AS VARCHAR)])['u'][1]
+        |    AS u_val,
+        |  CAST(cardinality(map(['t','u'],
+        |    [event_type, CAST(user_id AS VARCHAR)])) AS BIGINT) AS n_keys
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val m = map_from_arrays(
+        array(lit("t"), lit("u")),
+        array(col("event_type"), col("user_id").cast("string")))
+      t(s, dir, "events").select(
+          col("event_id"),
+          element_at(m, "t").as("t_val"),
+          element_at(m, "u").as("u_val"),
+          size(m).cast("bigint").as("n_keys"))
+        .orderBy("event_id")
+    },
+
     // UNPIVOT/melt — wide metrics to (key, metric, value) rows, the
     // inverse of q_agg_pivot.
     sql("q_unpivot")(
