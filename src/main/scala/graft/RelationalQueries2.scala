@@ -134,6 +134,41 @@ object RelationalQueries2 {
         .orderBy("window_start", "event_type")
     },
 
+    // Struct-typed columns: build, field access, nested reshaping.
+    sql("q_struct_funcs")(
+      """SELECT event_id,
+        |  ({'ty': event_type, 'uid': user_id}).ty AS ty,
+        |  ({'ty': event_type, 'uid': user_id}).uid AS uid,
+        |  ({'outer': {'inner': value}}).outer.inner AS nested_v
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val st = struct(col("event_type").as("ty"), col("user_id")
+        .as("uid"))
+      t(s, dir, "events").select(
+          col("event_id"),
+          st.getField("ty").as("ty"),
+          st.getField("uid").as("uid"),
+          struct(struct(col("value").as("inner")).as("outer"))
+            .getField("outer").getField("inner").as("nested_v"))
+        .orderBy("event_id")
+    },
+
+    // Correlated EXISTS subquery (decorrelates to a semi-join).
+    sql("q_exists_correlated")(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 500000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("graft_cust_ex")
+      t(s, dir, "orders").createOrReplaceTempView("graft_ord_ex")
+      s.sql(
+        """SELECT c_custkey, c_name FROM graft_cust_ex c
+          |WHERE EXISTS (SELECT 1 FROM graft_ord_ex o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 500000)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
     // Map-typed columns: construct, extract by key, cardinality.
     // (DuckDB map extraction yields a single-element list — [1] unwraps
     // it to Spark's scalar element_at semantics.)
