@@ -134,6 +134,22 @@ object RelationalQueries2 {
         .orderBy("window_start", "event_type")
     },
 
+    // LATERAL correlated table subquery (per-row derived table).
+    sql("q_lateral")(
+      """SELECT c.c_custkey, t.top_price FROM customer c,
+        |LATERAL (SELECT max(o_totalprice) AS top_price FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey) t
+        |ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("graft_cust_lat")
+      t(s, dir, "orders").createOrReplaceTempView("graft_ord_lat")
+      s.sql(
+        """SELECT c.c_custkey, t.top_price FROM graft_cust_lat c,
+          |LATERAL (SELECT max(o_totalprice) AS top_price
+          |         FROM graft_ord_lat o
+          |         WHERE o.o_custkey = c.c_custkey) t
+          |ORDER BY c.c_custkey""".stripMargin)
+    },
+
     // Struct-typed columns: build, field access, nested reshaping.
     sql("q_struct_funcs")(
       """SELECT event_id,
