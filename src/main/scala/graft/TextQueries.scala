@@ -93,6 +93,42 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // -- end-to-end curation pipeline: quality gate → exact dedup →
+    // per-source survivor stats. The composed form a real LLM-data
+    // pipeline runs, expressed as one declarative plan. -----------------
+    QuerySpec.sql("q_pipeline_e2e")(
+      """WITH q AS (SELECT doc_id, text, source,
+        |    len(string_split(text,' ')) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) /
+        |      len(string_split(text,' ')) AS ttr
+        |  FROM documents),
+        |filtered AS (SELECT * FROM q WHERE n_tok >= 10 AND ttr >= 0.2),
+        |deduped AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+        |            FROM filtered GROUP BY md5(text)),
+        |survivors AS (SELECT f.* FROM filtered f
+        |              JOIN deduped d ON f.doc_id = d.keep_id)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |FROM survivors GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        val toks = TextOps.tokens(col("text"))
+        val q = Q.t(s, dir, "documents").select(
+          col("doc_id"), col("text"), col("source"),
+          size(toks).as("n_tok"),
+          (size(array_distinct(toks)).cast(DoubleType) /
+            size(toks).cast(DoubleType)).as("ttr"))
+        val filtered = q.filter(col("n_tok") >= 10 && col("ttr") >= 0.2)
+        val deduped = filtered
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("keep_id"))
+        filtered.join(deduped,
+            filtered("doc_id") === deduped("keep_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast(LongType).as("total_tokens"))
+          .orderBy("source")
+    },
+
     // -- raw-text normalization (q_text_normalize) ----------------------
     QuerySpec.sql("q_text_normalize")(
       """SELECT doc_id,
