@@ -25,7 +25,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures only the tail of stdout; with 85 queries the
+    // single JSON line can exceed that window (round-1 BENCH had
+    // parsed:null). Persist the full blob to a file AND emit it as the
+    // final stdout line after stopping Spark, so no later log output
+    // can push it out of the captured tail.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/bench_out.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

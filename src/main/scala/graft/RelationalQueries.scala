@@ -297,15 +297,16 @@ object RelationalQueries {
     // Pivot as conditional aggregation — one pass, no shuffle per column.
     sql("q_agg_pivot")(
       """SELECT user_id,
-        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-        |    AS n_click,
-        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |    AS n_purchase,
-        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-        |    AS n_error,
-        |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-        |    AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_error,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_signup,
         |  CAST(SUM(CASE WHEN event_type = 'purchase'
         |       THEN CAST(value AS DECIMAL(18,2))
         |       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)

@@ -173,7 +173,7 @@ object RelationalQueries2 {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey
-        |                AND o.o_totalprice > 500000)
+        |                AND o.o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       t(s, dir, "customer").createOrReplaceTempView("graft_cust_ex")
       t(s, dir, "orders").createOrReplaceTempView("graft_ord_ex")
@@ -181,7 +181,7 @@ object RelationalQueries2 {
         """SELECT c_custkey, c_name FROM graft_cust_ex c
           |WHERE EXISTS (SELECT 1 FROM graft_ord_ex o
           |              WHERE o.o_custkey = c.c_custkey
-          |                AND o.o_totalprice > 500000)
+          |                AND o.o_totalprice > 400000)
           |ORDER BY c_custkey""".stripMargin)
     },
 
@@ -388,13 +388,16 @@ object RelationalQueries2 {
         |  FROM events WHERE event_type = 'click')
         |SELECT rn, view_id, click_id FROM a JOIN b USING (rn)
         |ORDER BY rn""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val ev = t(s, dir, "events")
+      // Global row numbers via partition-parallel zipIndex, not an
+      // unpartitioned window (which would collapse each side to one
+      // task — the round-1 scale-killer here).
       def ranked(kind: String, outCol: String) =
-        ev.filter(col("event_type") === kind)
-          .select(col("event_id").as(outCol))
-          .withColumn("rn",
-            row_number().over(Window.orderBy(col(outCol))))
+        graft.ops.Relational.zipIndex(
+            ev.filter(col("event_type") === kind)
+              .select(col("event_id").as(outCol)),
+            Seq(col(outCol)), "__i")
+          .select(col(outCol), (col("__i") + 1L).as("rn"))
       ranked("view", "view_id").join(ranked("click", "click_id"), "rn")
         .select("rn", "view_id", "click_id")
         .orderBy("rn")

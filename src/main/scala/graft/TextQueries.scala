@@ -193,8 +193,11 @@ object TextQueries {
         |FROM p
         |WHERE CAST(n_inter AS DOUBLE)/CAST(n_union AS DOUBLE) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      // maxDf exercises the skew guard while staying recall-exact: the
+      // verify corpus has 500 docs, so no shingle can exceed df 10000
+      // and the pruning filter removes nothing (oracle stays hash-equal).
       Dedup.ngramJaccardPairs(Q.t(s, dir, "documents"), "text", "doc_id",
-          n = 3, minJaccard = 0.2)
+          n = 3, minJaccard = 0.2, maxDf = 10000L)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -251,10 +254,15 @@ object TextQueries {
         .agg(count(lit(1)).as("tf"))
       val df = tok.groupBy("term")
         .agg(countDistinct("doc_id").as("df"))
-      val n = Q.t(s, dir, "documents").count().toDouble
+      // Corpus size stays IN the plan (broadcast 1-row cross join), not
+      // a driver-side .count() — one job, no eager action at build time.
+      val n = Q.t(s, dir, "documents")
+        .agg(count(lit(1)).cast(DoubleType).as("corpus_n"))
       val scored = tf.join(df, "term")
+        .crossJoin(broadcast(n))
         .withColumn("score", col("tf").cast(DoubleType) *
-          (lit(n) / col("df").cast(DoubleType)))
+          (col("corpus_n") / col("df").cast(DoubleType)))
+        .drop("corpus_n")
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term"))
       scored.withColumn("rnk", row_number().over(w))
@@ -342,8 +350,30 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // -- sign-LSH bucketed variant (rows-only: approximate by design) ---
-    QuerySpec.rowsOnly("q_embed_pairs_lsh") { (s, dir) =>
+    // -- sign-LSH bucketed variant (now a distributed self-equi-join,
+    // deterministic → full DuckDB oracle instead of rows-only) ----------
+    QuerySpec.sql("q_embed_pairs_lsh")(
+      """WITH v AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS qv,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+        |    (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+        |    (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qv, bucket,
+        |    CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2
+        |  FROM v),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        CAST(CAST(list_sum(list_transform(range(1, 65),
+        |          i -> a.qv[i]*b.qv[i])) AS BIGINT) AS DOUBLE) /
+        |          sqrt(CAST(a.n2 AS DOUBLE)*CAST(b.n2 AS DOUBLE))
+        |          AS cosine
+        |      FROM n a JOIN n b ON a.bucket = b.bucket
+        |      WHERE b.vec_id > a.vec_id)
+        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       Similarity.bucketedPairs(Q.t(s, dir, "embeddings"), "vec_id",
           "embedding", minCosine = 0.3, bits = 6, dim = 64)
         .orderBy("id_a", "id_b")

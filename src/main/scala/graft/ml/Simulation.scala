@@ -44,14 +44,14 @@ object Simulation {
       .withColumn("action", hmod(col("id"), "a", seed, numActions))
     // Factor lookups: broadcast hash joins, no shuffle of `base`.
     // Actions index items positionally (action a → a-th item by id), so
-    // both factor tables get a dense 0-based pick column.
-    val w = org.apache.spark.sql.expressions.Window
-    val userIdx = users
-      .withColumn("user_pick",
-        (row_number().over(w.orderBy("user_id")) - 1).cast("int"))
-    val itemIdx = items
-      .withColumn("item_pick",
-        (row_number().over(w.orderBy("item_id")) - 1).cast("int"))
+    // both factor tables get a dense 0-based pick column — assigned
+    // partition-parallel (zipIndex), not via an unpartitioned window.
+    val userIdx = graft.ops.Relational
+      .zipIndex(users, Seq(col("user_id")), "__i")
+      .withColumn("user_pick", col("__i").cast("int")).drop("__i")
+    val itemIdx = graft.ops.Relational
+      .zipIndex(items, Seq(col("item_id")), "__i")
+      .withColumn("item_pick", col("__i").cast("int")).drop("__i")
     val joined = base
       .join(broadcast(userIdx), "user_pick")
       .join(broadcast(itemIdx),

@@ -77,6 +77,75 @@ object Relational {
         valueCols.map(c => col(s"asof_$c"))): _*)
   }
 
+  /** Global 0-based dense row index under a total order, WITHOUT an
+    * unpartitioned window (`Window.orderBy` with no partition spec
+    * collapses the whole input onto one task). Range-repartition puts
+    * partitions in global key order, a local sort orders within, and
+    * RDD `zipWithIndex` assigns contiguous indices partition-parallel —
+    * its only synchronization is one small job counting partition sizes.
+    * `orderCols` MUST be a unique key: uniqueness makes the index
+    * independent of the sampled range boundaries (any boundary split of
+    * a strict total order concatenates to the same sequence).
+    */
+  def zipIndex(df: DataFrame, orderCols: Seq[Column],
+               idxCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(idxCol, LongType, nullable = false))
+    df.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i) },
+      schema)
+  }
+
+  /** Point-in-time as-of join specialized for a PRE-BUCKETED feature
+    * table (the FeatureStore 100 TB note made concrete). The generic
+    * [[asofJoin]] unions both sides before its window, and `Union`
+    * discards child partitioning — so bucketing the feature table can
+    * never make THAT formulation shuffle-free. This variant keeps the
+    * feature side entirely in its bucket layout:
+    *
+    *  1. intervalize: per key, each feature row owns the half-open
+    *     validity interval [feature_ts, next feature_ts). The window
+    *     partitions by the bucket key, so over a bucketed scan it needs
+    *     NO Exchange (HashPartitioning(key, buckets) already satisfies
+    *     its distribution) — only a local sort.
+    *  2. join: each query row equi-joins on the key and lands in exactly
+    *     one interval (`asOfTs >= start && (end IS NULL || asOfTs <
+    *     end)`) — 1:1, no range-join pair blowup. The sort-merge join
+    *     reuses the feature side's bucket partitioning; ONLY the query
+    *     side shuffles. Plan-verified in FeatureStoreSpec.
+    *
+    * Tie semantics match [[asofJoin]]: among equal-ts feature rows the
+    * greatest value tuple wins (it sorts last, so every earlier
+    * duplicate gets an empty [t, t) interval no query can land in).
+    * Queries before the first feature keep null feature slots (left
+    * join). Choose the bucket count to match the cluster's shuffle
+    * parallelism or EnsureRequirements re-shuffles the bucketed side.
+    */
+  def asofJoinIntervalized(queries: DataFrame, values: DataFrame,
+                           key: String, leftTs: String, rightTs: String,
+                           valueCols: Seq[String]): DataFrame = {
+    val intervals = values
+      .select((col(key).as("__k") +: col(rightTs).as("__start") +:
+        valueCols.map(c => col(c).as(s"asof_$c"))): _*)
+      .withColumn("__end", lead(col("__start"), 1).over(
+        Window.partitionBy(col("__k")).orderBy(
+          (col("__start").asc +:
+            valueCols.map(c => col(s"asof_$c").asc_nulls_first)): _*)))
+    val leftCols = queries.columns.toSeq
+    queries.join(intervals,
+        queries(key) === intervals("__k") &&
+          col(leftTs) >= col("__start") &&
+          (col("__end").isNull || col(leftTs) < col("__end")),
+        "left")
+      .select((leftCols.map(col) ++
+        valueCols.map(c => col(s"asof_$c"))): _*)
+  }
+
   /** Online-serving view: latest feature row per entity (A15,
     * FeaturestoreOnlineServingServiceClient surface). Deterministic
     * tiebreak on `tiebreak` descending.

@@ -54,10 +54,23 @@ object Dedup {
     * trigrams for prose); low-entropy vocabularies degrade any exact
     * scheme toward n² and are what [[minhashPairs]] is for.
     *
+    * `maxDf` is the skew guard: shingles appearing in more than maxDf
+    * documents are dropped from the posting lists BEFORE the self-join —
+    * one viral stop-phrase shingle otherwise contributes df² join rows
+    * (quadratic blowup at 100 TB). The document frequency is computed
+    * with a window count partitioned by the shingle itself, so it rides
+    * the same hash-partitioning the self-join needs — no extra shuffle
+    * shape. RECALL CONTRACT: a pruned shingle is invisible to both
+    * n_inter and candidate generation, so a pair is missed (or its
+    * jaccard undercounted) only if its overlap depends on shingles
+    * shared by > maxDf docs; with maxDf far above the expected
+    * duplicate-cluster size the result is exact. Default = no pruning.
+    *
     * Output: (doc_a, doc_b, n_inter, n_union, jaccard), doc_a < doc_b.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int, minJaccard: Double): DataFrame = {
+                        n: Int, minJaccard: Double,
+                        maxDf: Long = Long.MaxValue): DataFrame = {
     // Persisted: the set table is tiny relative to the corpus (ids +
     // shingle arrays) and feeds BOTH sides of the self-join — without it
     // each side re-tokenizes the full corpus. The 100 TB analogue is
@@ -67,8 +80,17 @@ object Dedup {
         size(col("sh")).cast(LongType).as("sz"))
       .filter(col("sz") > 0)
       .persist()
-    val posts = sized.select(col("doc_id"), col("sz"),
+    val allPosts = sized.select(col("doc_id"), col("sz"),
       explode(col("sh")).as("s"))
+    val posts =
+      if (maxDf == Long.MaxValue) allPosts
+      else {
+        val byShingle =
+          org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+        allPosts.withColumn("df", count(lit(1)).over(byShingle))
+          .filter(col("df") <= maxDf)
+          .drop("df")
+      }
     val inter = posts.as("x").join(posts.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
           col("y.sz") >= col("x.sz") * minJaccard - 0.5 &&

@@ -154,37 +154,22 @@ object Similarity {
     * corpus broadcasts once and every partition scores its rows against
     * it in a tight native loop — declarative join formulations put the
     * O(n²·dim) cosine into a (never codegen'd) nested-loop join
-    * condition, ~30× slower. One broadcast side must fit in executor
-    * memory (embeddings at larger scale: tile the corpus into broadcast
-    * blocks, or use [[bucketedPairs]] — the intended 100 TB path).
+    * condition, ~30× slower. This is the documented EXACT BASELINE and
+    * its broadcast side must fit in executor memory; the 100 TB path is
+    * [[bucketedPairs]], a fully distributed bucket self-equi-join with
+    * no driver-side materialization.
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                  minCosine: Double, dim: Int): DataFrame =
-    pairKernel(df, idCol, vecCol, minCosine, dim, sameBucketOnly = false,
-      bits = 0)
-
-  /** Approximate near-dup pairs: only pairs colliding in the sign-LSH
-    * bucket are scored — linear-ish in data size for spread-out buckets.
-    */
-  def bucketedPairs(df: DataFrame, idCol: String, vecCol: String,
-                    minCosine: Double, bits: Int,
-                    dim: Int): DataFrame =
-    pairKernel(df, idCol, vecCol, minCosine, dim, sameBucketOnly = true,
-      bits = bits)
-
-  private def pairKernel(df: DataFrame, idCol: String, vecCol: String,
-                         minCosine: Double, dim: Int,
-                         sameBucketOnly: Boolean, bits: Int): DataFrame = {
+                  minCosine: Double, dim: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rows = quantRows(df, idCol, vecCol, bits)
+    val rows = quantRows(df, idCol, vecCol, bits = 0)
     val bc = spark.sparkContext.broadcast(rows.collect())
     rows.mapPartitions { it =>
       val corpus = bc.value
       it.flatMap { a =>
         corpus.iterator
-          .filter(b => b.id > a.id &&
-            (!sameBucketOnly || b.bucket == a.bucket))
+          .filter(b => b.id > a.id)
           .flatMap { b =>
             var dot = 0L
             var i = 0
@@ -194,5 +179,34 @@ object Similarity {
           }
       }
     }.toDF("id_a", "id_b", "cosine")
+  }
+
+  /** Approximate near-dup pairs via sign-LSH: only pairs colliding in
+    * the same bucket are scored. Fully distributed — ONE shuffle
+    * co-partitions both sides of a bucket-key self-equi-join, the
+    * `id_b > id_a` half-space prunes mirror pairs inside the join, and
+    * the cosine is a codegen'd unrolled expression over the joined row
+    * (never a join condition, never a driver collect). At 100 TB this
+    * scales with the largest bucket, not the corpus: more `bits` →
+    * smaller buckets; pathological buckets split under AQE skew-join
+    * (enabled in [[graft.Sessions]]).
+    */
+  def bucketedPairs(df: DataFrame, idCol: String, vecCol: String,
+                    minCosine: Double, bits: Int,
+                    dim: Int): DataFrame = {
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+        quantVec(col(vecCol)).as("qv"),
+        signBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("n2", qnorm2(col("qv")))
+    val lhs = base.select(col("bucket"), col("id").as("id_a"),
+      col("qv").as("qa"), col("n2").as("na2"))
+    val rhs = base.select(col("bucket"), col("id").as("id_b"),
+      col("qv").as("qb"), col("n2").as("nb2"))
+    lhs.join(rhs, Seq("bucket"))
+      .filter(col("id_b") > col("id_a"))
+      .withColumn("cosine",
+        qcosineU(col("qa"), col("na2"), col("qb"), col("nb2"), dim))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

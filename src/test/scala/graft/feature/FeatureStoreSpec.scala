@@ -92,4 +92,45 @@ class FeatureStoreSpec extends SparkSpec {
       assert(online == Set((1L, 20.0)))
     }
   }
+
+  test("bucketed PIT: intervalized as-of is row-identical to asofJoin " +
+      "and shuffles only the query side (100 TB note, plan-asserted)") {
+    import graft.io.Bucketing
+    import graft.ops.Relational
+    val values = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-03-01 00:00:00"), 20.0),
+      (1L, ts("2024-03-01 00:00:00"), 30.0), // equal-ts tie: 30 wins
+      (2L, ts("2024-02-01 00:00:00"), 5.0),
+      (3L, ts("2024-06-01 00:00:00"), 7.0))
+      .toDF("user_id", "feature_ts", "rating")
+    // Feature table written bucketed by entity — bucket count matches
+    // the session's shuffle parallelism so EnsureRequirements keeps it.
+    Bucketing.writeBucketed(values, "b_pit_vals", "user_id", 4)
+    try {
+      val queries = Seq(
+        (1L, ts("2024-02-15 00:00:00")), // between imports -> 10.0
+        (1L, ts("2024-03-01 00:00:00")), // tie ts, inclusive -> 30.0
+        (1L, ts("2024-04-01 00:00:00")), // after both -> 30.0
+        (2L, ts("2024-01-15 00:00:00")), // before first -> null
+        (4L, ts("2024-05-01 00:00:00"))) // unknown entity -> null
+        .toDF("user_id", "as_of")
+      val fast = Relational.asofJoinIntervalized(
+        queries.hint("merge"), spark.table("b_pit_vals"),
+        "user_id", "as_of", "feature_ts", Seq("rating"))
+      val ref = Relational.asofJoin(queries, values, "user_id",
+        "as_of", "feature_ts", Seq("rating"))
+      assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
+      assert(fast.filter($"user_id" === 1 &&
+        $"as_of" === ts("2024-03-01 00:00:00"))
+        .select("asof_rating").as[Double].head() == 30.0)
+      // The 100 TB contract: the bucketed feature scan feeds BOTH its
+      // intervalizing window AND the sort-merge join with no Exchange;
+      // the single hash shuffle in the plan belongs to the query side.
+      val plan = fast.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size == 1,
+        plan)
+    } finally spark.sql("DROP TABLE IF EXISTS b_pit_vals")
+  }
 }

@@ -43,6 +43,34 @@ class TextSpec extends SparkSpec {
     assert(planted.nonEmpty && planted.subsetOf(mh))
   }
 
+  test("maxDf prunes viral shingles from ngram postings, keeps rare ones") {
+    // Docs 1-4 all share the stop-phrase "click here to continue now"
+    // (df=4 for its shingles); only 1 and 2 also share a rare phrase.
+    val df = Seq(
+      (1L, "click here to continue now rare alpha beta gamma delta"),
+      (2L, "click here to continue now rare alpha beta gamma delta"),
+      (3L, "click here to continue now something else entirely said"),
+      (4L, "click here to continue now unrelated filler words again"))
+      .toDF("doc_id", "text")
+    // Unpruned: every pair shares the viral shingles.
+    val all = Dedup.ngramJaccardPairs(df, "text", "doc_id", 2, 0.1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(all == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)))
+    // maxDf=2 drops the df=4 stop-phrase postings before the self-join;
+    // only the rare-phrase pair (df=2 shingles) survives, and its
+    // intersection now counts rare shingles only.
+    val pruned = Dedup.ngramJaccardPairs(df, "text", "doc_id", 2, 0.1,
+        maxDf = 2L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pruned == Set((1L, 2L)))
+    // Recall contract: a generous maxDf (>= corpus size) prunes nothing.
+    val loose = Dedup.ngramJaccardPairs(df, "text", "doc_id", 2, 0.1,
+        maxDf = 100L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(loose == all)
+  }
+
   test("simhash: identical docs at distance 0; near-dups close") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"),
@@ -98,5 +126,33 @@ class TextSpec extends SparkSpec {
     val out = Similarity.bucketedTopK(df, df, "vec_id", "embedding", 5, 4, dim = 4)
       .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L), (2L, 1L))) // 3 is alone in its bucket
+  }
+
+  test("bucketedPairs scores only same-bucket pairs above the floor") {
+    val df = Seq(
+      (1L, Seq(1f, 1f, 1f, 1f)), (2L, Seq(1f, 1f, 1f, 1f)),
+      (3L, Seq(-1f, -1f, -1f, -1f)), (4L, Seq(-1f, -1f, -1f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity
+      .bucketedPairs(df, "vec_id", "embedding", 0.5, bits = 4, dim = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // (1,2) share bucket 0b1111; (3,4) share bucket 0b0000; cross-bucket
+    // pairs like (1,3) are never scored despite cosine = -1 < floor.
+    assert(out == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("bucketedPairs plan is a distributed join, not a driver collect") {
+    val df = Seq((1L, Seq(1f, 1f)), (2L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val plan = Similarity
+      .bucketedPairs(df, "vec_id", "embedding", 0.5, bits = 2, dim = 2)
+      .queryExecution.executedPlan.toString
+    // The 100 TB contract: pairs come from a bucket-key equi-join
+    // executed by Spark (shuffle or broadcast per stats), never from an
+    // RDD kernel over a driver-collected corpus (which would surface as
+    // MapPartitions/DeserializeToObject nodes and no Join at all).
+    assert(plan.contains("Join"), plan)
+    assert(!plan.contains("MapPartitions"), plan)
+    assert(!plan.contains("DeserializeToObject"), plan)
   }
 }
