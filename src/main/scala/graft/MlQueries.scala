@@ -88,6 +88,35 @@ object MlQueries {
           sum(col("reward").cast(DecimalType(18, 6))).cast(DoubleType)
             .as("sum_reward"))
         .orderBy("predicted_action")
+    },
+
+    // -- TFRecord interchange (A8/A9/A16 with REAL bytes; rows-only —
+    // the byte formats are not DuckDB-expressible) ----------------------
+    // Trajectories round-trip through the reference's on-disk format
+    // (Example ∋ serialized TensorProtos, TFRecord framing); the output
+    // aggregates the decoded records so every decode path executes.
+    QuerySpec.rowsOnly("q_tfrecord_roundtrip") { (s, dir) =>
+      import graft.io.TfRecords
+      val ratings = syntheticRatings(s, dir)
+      val factors = RankKFactorizer.factorize(ratings, rank = 4,
+        seed = 42L, maxIter = 3)
+      val traj = Simulation.generateTrajectories(s, factors,
+        steps = 20, batchSize = 4, numActions = 10, seed = 42L)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_tfrec").toString
+      TfRecords.writeTrajectories(traj, out)
+      // flatten: records have no step column (the reference's Example
+      // doesn't carry one), so explode (action, reward) pairs directly
+      TfRecords.readTrajectories(s, out).toDF()
+        .select(explode(arrays_zip(col("action"), col("reward")))
+          .as("t"))
+        .select(col("t.action").as("action"),
+          col("t.reward").as("reward"))
+        .groupBy("action")
+        .agg(count(lit(1)).as("n"),
+          sum(col("reward").cast(DecimalType(18, 6))).cast(DoubleType)
+            .as("sum_reward"))
+        .orderBy("action")
     }
   )
 }
