@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.Bridge
+
+/** Column/SQL surface for the native expressions in this package.
+  *
+  * Two registration paths:
+  *  - [[GraftExtensions]] for session construction time
+  *    (`.withExtensions(new GraftExtensions)` or
+  *    `spark.sql.extensions=graft.functions.GraftExtensions`) — the
+  *    idiomatic plugin route for a shared cluster deployment;
+  *  - [[Native.register]] for an already-built session (idempotent) —
+  *    what the query library calls defensively so `qdot_long` resolves
+  *    in SQL text regardless of how the session was made.
+  *
+  * The Column helpers below construct the expression directly
+  * (`ExpressionUtils.column`), so DataFrame-API users need no
+  * registration at all.
+  */
+object Native {
+
+  /** Codegen'd integer dot product (see [[QDotLong]]). */
+  def qdotLong(a: Column, b: Column): Column =
+    Bridge.column(QDotLong(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd integer squared norm: qdot_long(a, a). The argument is
+    * expected to be an attribute (array re-access is O(1); an inline
+    * computed child would be evaluated twice).
+    */
+  def qnorm2Long(a: Column): Column = qdotLong(a, a)
+
+  private[functions] val registrations
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((
+      FunctionIdentifier("qdot_long"),
+      new ExpressionInfo(classOf[QDotLong].getName, "qdot_long"),
+      { args =>
+        require(args.length == 2, "qdot_long takes exactly 2 arguments")
+        QDotLong(args(0), args(1))
+      }))
+
+  /** Register the native functions on a live session (idempotent —
+    * re-registration just overwrites with the same builder).
+    */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (ident, info, builder) =>
+      Bridge.registerFunction(spark, ident, info, builder)
+    }
+}
+
+/** SparkSessionExtensions plugin registering graft's native functions —
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    Native.registrations.foreach(ext.injectFunction)
+}

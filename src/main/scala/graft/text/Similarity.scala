@@ -24,35 +24,26 @@ object Similarity {
 
   def quantVec(v: Column): Column = transform(v, quant(_))
 
-  /** Exact integer dot product of two quantized vectors (array-fold
-    * form — higher-order functions run interpreted, so use
-    * [[qdotU]] with a known dimension anywhere pair volume is large).
+  /** Exact integer dot product of two quantized vectors — the native
+    * codegen'd [[graft.functions.QDotLong]] expression (one tight Java
+    * loop inside whole-stage codegen). The earlier alternatives are
+    * documented in QDotLong's scaladoc: the `aggregate(zip_with(...))`
+    * fold runs interpreted, and a dimension-unrolled `element_at` chain
+    * bloats generated code — the native expression supersedes both and
+    * needs no compile-time dimension.
     */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, p) => acc + p)
+    graft.functions.Native.qdotLong(a, b)
 
-  /** Exact integer squared norm of a quantized vector. */
+  /** Exact integer squared norm of a quantized vector (codegen'd). */
   def qnorm2(a: Column): Column =
-    aggregate(a, lit(0L), (acc, x) => acc + x * x)
+    graft.functions.Native.qnorm2Long(a)
 
-  /** Dimension-unrolled dot product: a flat codegen'd expression tree of
-    * element_at products — ~12× faster than the interpreted fold on the
-    * pairwise hot path. Sums stay < 2^53 (see class doc), far from Long
-    * overflow, so ANSI mode never trips.
+  /** Quantized cosine similarity — deterministic double: exact integer
+    * dot product, ONE IEEE division+sqrt (bit-equal across engines).
     */
-  def qdotU(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i => element_at(a, i) * element_at(b, i))
-      .reduce(_ + _)
-
-  /** Quantized cosine similarity — deterministic double. */
   def qcosine(qa: Column, na2: Column, qb: Column, nb2: Column): Column =
     qdot(qa, qb).cast(DoubleType) /
-      sqrt(na2.cast(DoubleType) * nb2.cast(DoubleType))
-
-  /** Unrolled-dot variant of [[qcosine]] for fixed-dimension columns. */
-  def qcosineU(qa: Column, na2: Column, qb: Column, nb2: Column,
-               dim: Int): Column =
-    qdotU(qa, qb, dim).cast(DoubleType) /
       sqrt(na2.cast(DoubleType) * nb2.cast(DoubleType))
 
   /** Brute-force exact cosine top-k: for every query vector, the k
@@ -205,7 +196,7 @@ object Similarity {
     lhs.join(rhs, Seq("bucket"))
       .filter(col("id_b") > col("id_a"))
       .withColumn("cosine",
-        qcosineU(col("qa"), col("na2"), col("qb"), col("nb2"), dim))
+        qcosine(col("qa"), col("na2"), col("qb"), col("nb2")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
