@@ -29,13 +29,20 @@ object Simulation {
   def generateTrajectories(spark: SparkSession, factors:
       RankKFactorizer.Factors, steps: Int, batchSize: Int,
       numActions: Int, seed: Long = 42L): DataFrame = {
+    // Persisted: the factor tables are tiny (dims of the rank-k env)
+    // but sit atop the ITERATIVE ALS lineage — every extra pass
+    // (zipIndex samples + counts, the nItems lookup) would re-run the
+    // whole factorization without the cache.
     val users = factors.user
       .select(col("id").as("user_id"),
         col("features").cast("array<double>").as("obs"))
+      .persist()
     val items = factors.item
       .select(col("id").as("item_id"),
         col("features").cast("array<double>").as("ivec"))
+      .persist()
     val nUsers = users.count().toInt
+    val nItems = items.count()
     // One row per transition; trajectory id = step, position = slot.
     val base = spark.range(steps.toLong * batchSize)
       .withColumn("step", (col("id") / batchSize).cast("int"))
@@ -55,7 +62,7 @@ object Simulation {
     val joined = base
       .join(broadcast(userIdx), "user_pick")
       .join(broadcast(itemIdx),
-        pmod(col("action"), lit(itemIdx.count())).cast("int") ===
+        pmod(col("action"), lit(nItems)).cast("int") ===
           col("item_pick"))
       .withColumn("reward",
         RankKFactorizer.predictRating(col("obs"), col("ivec")))
