@@ -526,6 +526,25 @@ object RelationalQueries2 {
           |                      FROM graft_orders_sq o2
           |                      WHERE o2.o_custkey = o.o_custkey)
           |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // Deterministic stratified sampling (training-data curation):
+    // hash-gated per-stratum rates, reproducible across engines and
+    // partitionings — the map-side zero-shuffle sampler.
+    sql("q_sample_stratified")(
+      """SELECT event_id, event_type FROM events
+        |WHERE ((event_id * 48271 + 7) % 2147483647) % 1000 <
+        |  CASE event_type WHEN 'purchase' THEN 1000 WHEN 'error' THEN 500
+        |    WHEN 'signup' THEN 250 WHEN 'click' THEN 100
+        |    WHEN 'view' THEN 50 ELSE 0 END
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      graft.ops.Relational.sampleStratifiedHash(
+          t(s, dir, "events").select("event_id", "event_type"),
+          "event_id", "event_type",
+          Map("purchase" -> 1000, "error" -> 500, "signup" -> 250,
+            "click" -> 100, "view" -> 50),
+          seed = 7L)
+        .orderBy("event_id")
     }
   )
 }

@@ -151,6 +151,28 @@ final class FeatureStore(spark: SparkSession, root: String) {
     Relational.asofJoin(queries, readValues(entityType), entityIdCol,
       asOfTsCol, "feature_ts", featureCols)
 
+  /** Compact the append-only value history into a BUCKETED table
+    * (bucketBy entity id) — the write-once step that makes every
+    * subsequent point-in-time retrieval shuffle-free on the feature
+    * side. Run after bulk-import bursts; bucket count should match the
+    * cluster's shuffle parallelism (see Relational.asofJoinIntervalized).
+    */
+  def compactBucketed(entityType: String, entityIdCol: String,
+                      table: String, buckets: Int): Unit =
+    graft.io.Bucketing.writeBucketed(readValues(entityType), table,
+      entityIdCol, buckets)
+
+  /** Offline point-in-time read over a [[compactBucketed]] table:
+    * intervalized as-of join that shuffles ONLY the query side
+    * (plan-asserted in FeatureStoreSpec). Semantics identical to
+    * [[pointInTime]].
+    */
+  def pointInTimeBucketed(table: String, queries: DataFrame,
+                          entityIdCol: String, asOfTsCol: String,
+                          featureCols: Seq[String]): DataFrame =
+    Relational.asofJoinIntervalized(queries, spark.table(table),
+      entityIdCol, asOfTsCol, "feature_ts", featureCols)
+
   /** Online-serving view: current (latest) value per entity. */
   def latestOnlineView(entityType: String, entityIdCol: String,
                        tiebreak: String): DataFrame =

@@ -179,6 +179,33 @@ object Relational {
       .drop("__prev_us", "__new")
   }
 
+  /** Deterministic stratified sampling for training-data curation:
+    * keep a row iff hash(id) mod 1000 < permille(stratum). Unlike
+    * `df.sample` (partition-dependent RNG), the decision is a pure
+    * function of the row id — reproducible across runs, partitionings,
+    * and engines (the Lehmer/MINSTD step `id*48271 mod 2^31-1` is plain
+    * BIGINT arithmetic, DuckDB-expressible for the oracle, and
+    * `id*48271 + seed` stays far below 2^63 for any 32-bit id, so ANSI
+    * overflow never trips). Per-stratum rates arrive as a tiny map →
+    * broadcast joined; the sample itself is a map-side filter — ZERO
+    * shuffle at any scale.
+    */
+  def sampleStratifiedHash(df: DataFrame, idCol: String,
+                           strataCol: String, permille: Map[String, Int],
+                           seed: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(permille.values.forall(p => p >= 0 && p <= 1000),
+      "permille rates must be in [0, 1000]")
+    val rates = permille.toSeq.toDF(strataCol, "__permille")
+    val h = pmod(pmod(col(idCol).cast("long") * 48271L + lit(seed),
+      lit(2147483647L)), lit(1000L))
+    // inner join: a stratum absent from the map samples at rate 0
+    df.join(broadcast(rates), strataCol)
+      .filter(h < col("__permille"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Exact dedup with a deterministic survivor: group on the dedup key,
     * keep the minimum id. (dropDuplicates picks an arbitrary row — fine
     * interactively, not reproducible; SURVEY.md §5.)

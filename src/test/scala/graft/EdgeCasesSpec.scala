@@ -10,6 +10,23 @@ import graft.text.{Dedup, TextOps}
 class EdgeCasesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("stratified hash sampling: deterministic, 1000‰ keeps all, " +
+      "absent stratum samples at 0") {
+    val df = (1L to 400L).map(i =>
+        (i, if (i % 2 == 0) "a" else if (i % 3 == 0) "b" else "c"))
+      .toDF("id", "stratum")
+    def run() = graft.ops.Relational.sampleStratifiedHash(df, "id",
+        "stratum", Map("a" -> 1000, "b" -> 250), seed = 7L)
+      .select("id").as[Long].collect().toSet
+    val s1 = run()
+    assert(s1 == run()) // pure function of (id, stratum, seed)
+    val byStratum = df.as[(Long, String)].collect().groupBy(_._2)
+    assert(byStratum("a").map(_._1).toSet.subsetOf(s1)) // 1000‰ = all
+    assert(!s1.exists(byStratum("c").map(_._1).toSet)) // absent = none
+    val bKept = s1.intersect(byStratum("b").map(_._1).toSet)
+    assert(bKept.nonEmpty && bKept.size < byStratum("b").length)
+  }
+
   test("normalize handles empty, punctuation-only, and multi-space") {
     val df = Seq((1L, ""), (2L, "!!! ??"), (3L, "  A  b,C  "))
       .toDF("id", "t")

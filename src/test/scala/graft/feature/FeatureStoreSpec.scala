@@ -93,6 +93,29 @@ class FeatureStoreSpec extends SparkSpec {
     }
   }
 
+  test("compactBucketed + pointInTimeBucketed wire the store to the " +
+      "shuffle-lean PIT path with unchanged semantics") {
+    withStore { fs =>
+      fs.createEntityType(EntityTypeDef("users", "user_id", Seq.empty))
+      fs.importFeatureValues("users",
+        Seq((1L, 10.0)).toDF("user_id", "rating"), "user_id",
+        Some(ts("2024-01-01 00:00:00")))
+      fs.importFeatureValues("users",
+        Seq((1L, 20.0)).toDF("user_id", "rating"), "user_id",
+        Some(ts("2024-03-01 00:00:00")))
+      fs.compactBucketed("users", "user_id", "b_users_vals", 4)
+      try {
+        val queries = Seq((1L, ts("2024-02-01 00:00:00")),
+          (1L, ts("2024-04-01 00:00:00"))).toDF("user_id", "as_of")
+        val fast = fs.pointInTimeBucketed("b_users_vals", queries,
+          "user_id", "as_of", Seq("rating"))
+        val ref = fs.pointInTime("users", queries, "user_id", "as_of",
+          Seq("rating"))
+        assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
+      } finally spark.sql("DROP TABLE IF EXISTS b_users_vals")
+    }
+  }
+
   test("bucketed PIT: intervalized as-of is row-identical to asofJoin " +
       "and shuffles only the query side (100 TB note, plan-asserted)") {
     import graft.io.Bucketing
