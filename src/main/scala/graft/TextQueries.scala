@@ -44,6 +44,24 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("word"))
     },
 
+    // -- per-doc token budgeting: whitespace + BPE-ish regex counts -----
+    // (LLM-corpus sizing; the GPT-2-style pre-tokenizer subset behaves
+    // identically under Java regex and RE2, so counts oracle-match)
+    QuerySpec.sql("q_token_count")(
+      ("""SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text,
+        |    '""" + TextOps.BpeishPattern.replace("'", "''") + """'))
+        |    AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""").stripMargin) { (s, dir) =>
+      Q.t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n_ws"),
+          size(TextOps.bpeishTokens(col("text"))).cast(LongType)
+            .as("n_bpe"))
+        .orderBy("doc_id")
+    },
+
     // -- per-doc quality metrics (q_text_quality) -----------------------
     QuerySpec.sql("q_text_quality")(
       s"""WITH t AS (SELECT doc_id, text, string_split(text,' ') AS tk

@@ -26,6 +26,20 @@ object TextOps {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** GPT-2-style pre-tokenizer pattern (contractions, space-prefixed
+    * letter runs, digit runs, punctuation runs, residual whitespace) —
+    * the "BPE-ish" token counter for LLM-corpus budgeting. The subset
+    * of regex syntax used (\p{L}, \p{N}, \s, alternation) behaves
+    * identically under Java regex (Spark) and RE2 (DuckDB), so counts
+    * oracle-match.
+    */
+  val BpeishPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** All BPE-ish tokens of a text column (ARRAY<STRING>). */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeishPattern), lit(0))
+
   /** Raw-text normalization: lowercase, strip non-alphanumerics,
     * collapse runs of spaces, trim. Plain-ASCII regexes behave
     * identically under Java regex and RE2, so the DuckDB oracle

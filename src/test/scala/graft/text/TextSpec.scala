@@ -99,6 +99,14 @@ class TextSpec extends SparkSpec {
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
 
+  test("bpeish tokenizer splits contractions, digits, punct like GPT-2") {
+    val df = Seq((1L, "don't panic, it's 42 tokens!")).toDF("id", "t")
+    val toks = df.select(TextOps.bpeishTokens($"t"))
+      .as[Seq[String]].head()
+    assert(toks == Seq("don", "'t", " panic", ",", " it", "'s", " 42",
+      " tokens", "!"))
+  }
+
   test("quality metrics on a known doc") {
     val df = Seq((1L, "the the fox")).toDF("doc_id", "text")
     val r = TextOps.qualityMetrics(df, "text")
