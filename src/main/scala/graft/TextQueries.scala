@@ -482,6 +482,109 @@ object TextQueries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
         .orderBy("query_id", "rnk")
+    },
+
+    // -- per-doc repetition metrics (Gopher-style quality signals):
+    // duplicate-bigram ratio + most-frequent-bigram fraction. All
+    // integer counts; the two ratios are single IEEE divisions.
+    // groupBy(doc_id, bigram) → groupBy(doc_id) keeps both aggregations
+    // partial/map-side-combinable — the scalable shape (vs per-row
+    // O(n²) array self-counting) -----------------------------------------
+    QuerySpec.sql("q_text_repetition")(
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |         i -> t[i] || ' ' || t[i+1])) AS b
+        |       FROM toks WHERE len(t) >= 2),
+        |c AS (SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |        CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+        |        CAST(max(cnt) AS BIGINT) AS top_cnt
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, n_bigrams, n_distinct_bigrams,
+        |  CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) /
+        |    CAST(n_bigrams AS DOUBLE) AS dup_bigram_ratio,
+        |  CAST(top_cnt AS DOUBLE) /
+        |    CAST(n_bigrams AS DOUBLE) AS top_bigram_frac
+        |FROM a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val perDoc = Q.t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TextOps.bigrams(col("toks")).as("bg"))
+        .filter(size(col("bg")) > 0)
+        .select(col("doc_id"), explode(col("bg")).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(
+          sum("cnt").as("n_bigrams"),
+          count(lit(1)).as("n_distinct_bigrams"),
+          max("cnt").as("top_cnt"))
+      perDoc.select(col("doc_id"), col("n_bigrams"),
+          col("n_distinct_bigrams"),
+          ((col("n_bigrams") - col("n_distinct_bigrams"))
+            .cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+            .as("dup_bigram_ratio"),
+          (col("top_cnt").cast(DoubleType) /
+            col("n_bigrams").cast(DoubleType)).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // -- corpus-level collocations: bigram lift = P(xy)/(P(x)P(y)) as
+    // the exact integer ratio c_xy·N / (c_x·c_y) — log-free PMI, so the
+    // single division is bit-equal across engines. Corpus size folds in
+    // as a broadcast 1-row aggregate (no driver-side count) --------------
+    QuerySpec.sql("q_collocations")(
+      """WITH toks AS (SELECT string_split(text,' ') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni
+        |       GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+        |bg AS (SELECT unnest(list_transform(range(1, len(t)),
+        |         i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+        |       FROM toks WHERE len(t) >= 2),
+        |bc AS (SELECT p.w1 AS w1, p.w2 AS w2,
+        |         CAST(count(*) AS BIGINT) AS c_xy FROM bg GROUP BY 1, 2)
+        |SELECT bc.w1, bc.w2, bc.c_xy,
+        |  CAST(bc.c_xy * n.n AS DOUBLE) /
+        |    CAST(x.c * y.c AS DOUBLE) AS lift
+        |FROM bc, n
+        |JOIN uc x ON bc.w1 = x.w
+        |JOIN uc y ON bc.w2 = y.w
+        |WHERE bc.c_xy >= 5
+        |ORDER BY bc.w1, bc.w2""".stripMargin) { (s, dir) =>
+      val toked = Q.t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val uni = toked.select(explode(col("toks")).as("w"))
+      val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
+      val n = uni.agg(count(lit(1)).as("n"))
+      val bc = toked
+        .select(TextOps.bigramPairs(col("toks")).as("bp"))
+        .filter(size(col("bp")) > 0)
+        .select(explode(col("bp")).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      bc.crossJoin(broadcast(n))
+        .join(uc.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+        .join(uc.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+        .select(col("w1"), col("w2"), col("c_xy"),
+          ((col("c_xy") * col("n")).cast(DoubleType) /
+            (col("c_x") * col("c_y")).cast(DoubleType)).as("lift"))
+        .orderBy("w1", "w2")
+    },
+
+    // -- PII/number redaction over event payloads: scrub digit runs,
+    // count redactions — a narrow codegen'd map, no shuffle ---------------
+    QuerySpec.sql("q_text_scrub")(
+      """SELECT event_id, event_type,
+        |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+        |    AS n_redacted
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Q.t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          TextOps.redact(col("props"), "[0-9]+", "<NUM>").as("scrubbed"),
+          size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+            .cast(LongType).as("n_redacted"))
+        .orderBy("event_id")
     }
   )
 }

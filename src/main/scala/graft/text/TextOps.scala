@@ -67,6 +67,39 @@ object TextOps {
     array_distinct(when(size(toks) >= n, mk).otherwise(array()))
   }
 
+  /** Ordered (non-distinct) word bigrams — the repetition-metric
+    * denominator. Same slice/zip construction as [[shingles]] (and the
+    * same lambda-re-evaluation caveat: pass an attribute column).
+    */
+  def bigrams(toks: Column): Column = {
+    val m = size(toks) - 1
+    val mk = zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => concat_ws(" ", a, b))
+    when(size(toks) >= 2, mk).otherwise(array())
+  }
+
+  /** Ordered bigrams as (w1, w2) structs — collocation scoring needs
+    * the component words to join against unigram counts without
+    * re-splitting.
+    */
+  def bigramPairs(toks: Column): Column = {
+    val m = size(toks) - 1
+    val mk = zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    when(size(toks) >= 2, mk)
+      .otherwise(array().cast(ArrayType(new StructType()
+        .add("w1", StringType).add("w2", StringType))))
+  }
+
+  /** Redact every run matching `pattern` (e.g. digit runs, emails) with
+    * a placeholder — the PII-scrub primitive. Pure regexp_replace, so
+    * it stays a narrow codegen'd map at any scale. DuckDB mirror needs
+    * the 'g' flag (its regexp_replace defaults to first-match-only;
+    * Spark's replaces all).
+    */
+  def redact(c: Column, pattern: String, placeholder: String): Column =
+    regexp_replace(c, pattern, placeholder)
+
   /** Exact content dedup key. */
   def contentHash(text: Column): Column = md5(text)
 

@@ -22,6 +22,26 @@ class TextSpec extends SparkSpec {
     assert(bi.sorted == Seq("a b", "b a")) // "a b" appears twice → once
   }
 
+  test("bigrams keep duplicates in order; short docs yield empty") {
+    val df = Seq((1L, "a b a b"), (2L, "x")).toDF("id", "t")
+    val toked = df.select($"id", TextOps.tokens($"t").as("toks"))
+    val out = toked.select($"id", TextOps.bigrams($"toks").as("bg"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("a b", "b a", "a b")) // non-distinct
+    assert(out(2L).isEmpty)
+    val pairs = toked.where($"id" === 1)
+      .select(TextOps.bigramPairs($"toks").as("bp"))
+      .as[Seq[(String, String)]].head()
+    assert(pairs == Seq(("a", "b"), ("b", "a"), ("a", "b")))
+  }
+
+  test("redact scrubs every digit run, not just the first") {
+    val out = Seq("id 123 and 456, ok").toDF("t")
+      .select(TextOps.redact($"t", "[0-9]+", "<NUM>"))
+      .as[String].head()
+    assert(out == "id <NUM> and <NUM>, ok")
+  }
+
   test("exact dedup groups duplicate texts under min id survivor") {
     val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
       .toDF("doc_id", "text")
