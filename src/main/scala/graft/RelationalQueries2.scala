@@ -545,6 +545,30 @@ object RelationalQueries2 {
             "click" -> 100, "view" -> 50),
           seed = 7L)
         .orderBy("event_id")
+    },
+
+    // Deterministic 80/10/10 train/val/test split of the document
+    // corpus (hash-gated like q_sample_stratified: membership is a pure
+    // function of doc_id, stable as the corpus grows), summarized per
+    // split × language. Zero-shuffle assignment; one aggregate.
+    sql("q_train_split")(
+      """WITH s AS (SELECT lang, n_chars,
+        |    CASE WHEN ((doc_id * 48271 + 11) % 2147483647) % 1000 < 800
+        |         THEN 'train'
+        |         WHEN ((doc_id * 48271 + 11) % 2147483647) % 1000 < 900
+        |         THEN 'val' ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM s GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin) { (s, dir) =>
+      graft.ops.Relational.hashSplit(
+          t(s, dir, "documents"), "doc_id", seed = 11L,
+          Seq("train" -> 800, "val" -> 100, "test" -> 100))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("bigint").as("total_chars"))
+        .orderBy("split", "lang")
     }
   )
 }

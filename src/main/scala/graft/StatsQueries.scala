@@ -126,6 +126,48 @@ object StatsQueries {
           Q.sumD2(col("o_totalprice")).as("total_spend"))
         .filter(col("n_orders") >= 12)
         .orderBy("o_custkey")
+    },
+
+    // Z-score anomaly detection per event_type — the outlier sweep a
+    // training-data pipeline runs before ingesting metrics. Moments on
+    // quantized cents (order-independent BIGINT sums), then one
+    // identical IEEE expression tree on both engines for μ, σ, z.
+    // Plan: one map-side-combinable aggregate (5 groups) broadcast back
+    // onto the stream — no second shuffle at any scale.
+    sql("q_events_anomaly")(
+      """WITH q AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s1,
+        |    CAST(sum(x*x) AS BIGINT) AS s2
+        |  FROM q GROUP BY event_type)
+        |SELECT event_id, q.event_type, x AS value_cents,
+        |  (CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)) /
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS
+        |      DOUBLE)/CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS z
+        |FROM q JOIN m ON q.event_type = m.event_type
+        |WHERE abs((CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE)/CAST(n AS
+        |    DOUBLE)) /
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS
+        |      DOUBLE)/CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))) > 2.5
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val q = t(s, dir, "events").select(col("event_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("bigint").as("x"))
+      val m = q.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("bigint").as("s1"),
+        sum(col("x") * col("x")).cast("bigint").as("s2"))
+      val mu = col("s1").cast("double") / col("n").cast("double")
+      val sigma = sqrt((col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") /
+          col("n").cast("double")) / col("n").cast("double"))
+      val z = (col("x").cast("double") - mu) / sigma
+      q.join(broadcast(m), "event_type")
+        .filter(abs(z) > 2.5)
+        .select(col("event_id"), col("event_type"),
+          col("x").as("value_cents"), z.as("z"))
+        .orderBy("event_id")
     }
   )
 }

@@ -206,6 +206,29 @@ object Relational {
       .select(df.columns.map(col): _*)
   }
 
+  /** Deterministic train/val/test assignment: split = the first band
+    * whose cumulative permille bound exceeds hash(id) mod 1000. Same
+    * Lehmer-step hash (and the same reproducibility contract) as
+    * [[sampleStratifiedHash]]; a pure narrow map, ZERO shuffle, and any
+    * engine can recompute the assignment from the id alone — the
+    * property that keeps train/test membership stable as the corpus
+    * grows (a row's split never changes when other rows arrive).
+    *
+    * @param bands (name, permille) in order; permille must sum to 1000
+    */
+  def hashSplit(df: DataFrame, idCol: String, seed: Long,
+                bands: Seq[(String, Int)]): DataFrame = {
+    require(bands.map(_._2).sum == 1000, "band permilles must sum to 1000")
+    val h = pmod(pmod(col(idCol).cast("long") * 48271L + lit(seed),
+      lit(2147483647L)), lit(1000L))
+    val cum = bands.scanLeft(0)(_ + _._2).tail
+    val split = bands.zip(cum).init
+      .foldRight(lit(bands.last._1)) { case (((name, _), bound), e) =>
+        when(h < bound, name).otherwise(e)
+      }
+    df.withColumn("split", split)
+  }
+
   /** Exact dedup with a deterministic survivor: group on the dedup key,
     * keep the minimum id. (dropDuplicates picks an arbitrary row — fine
     * interactively, not reproducible; SURVEY.md §5.)

@@ -105,6 +105,25 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("hashSplit is exhaustive, disjoint, and stable under growth") {
+    val bands = Seq("train" -> 800, "val" -> 100, "test" -> 100)
+    val small = spark.range(0, 100).toDF("id")
+    val big = spark.range(0, 10000).toDF("id")
+    val s1 = Relational.hashSplit(small, "id", 11L, bands)
+      .as[(Long, String)].collect().toMap
+    val s2 = Relational.hashSplit(big, "id", 11L, bands)
+      .as[(Long, String)].collect().toMap
+    assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
+    // membership of an id never changes when more rows arrive
+    assert(s1.forall { case (id, sp) => s2(id) == sp })
+    // ~80/10/10 at n=10000 (hash-uniform, not exact)
+    val frac = s2.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(frac("train") > 7500 && frac("train") < 8500, frac)
+    intercept[IllegalArgumentException] {
+      Relational.hashSplit(small, "id", 0L, Seq("a" -> 500))
+    }
+  }
+
   test("topKPerGroup caps rows per group with deterministic rank") {
     val df = Seq(("a", 3L, 1L), ("a", 2L, 2L), ("a", 1L, 3L), ("b", 9L, 4L))
       .toDF("g", "score", "id")
