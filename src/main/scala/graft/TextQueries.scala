@@ -552,9 +552,15 @@ object TextQueries {
         |ORDER BY bc.w1, bc.w2""".stripMargin) { (s, dir) =>
       val toked = Q.t(s, dir, "documents")
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      val uni = toked.select(explode(col("toks")).as("w"))
-      val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
-      val n = uni.agg(count(lit(1)).as("n"))
+      // Cached: the unigram-count table is vocabulary-sized (tiny next
+      // to the corpus) and feeds three places — both join sides and,
+      // via sum(c), the corpus size. Without it the corpus would be
+      // re-scanned and re-tokenized four times (seen in the plan);
+      // with it, twice (bigram pass + unigram pass).
+      val uc = toked.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .cache()
+      val n = uc.agg(sum("c").cast(LongType).as("n"))
       val bc = toked
         .select(TextOps.bigramPairs(col("toks")).as("bp"))
         .filter(size(col("bp")) > 0)
