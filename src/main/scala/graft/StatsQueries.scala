@@ -168,6 +168,53 @@ object StatsQueries {
         .select(col("event_id"), col("event_type"),
           col("x").as("value_cents"), z.as("z"))
         .orderBy("event_id")
+    },
+
+    // Distribution drift between two event populations (A = even ids,
+    // B = odd ids) over value buckets — the feature-drift monitor of a
+    // training pipeline, with the L1 distance computed EXACTLY in
+    // integers: Σ|c_a·N_b − c_b·N_a| as BIGINT, one final IEEE division
+    // by N_a·N_b. No float summation order to disagree on. Post-
+    // aggregation tables are bucket-sized, so the two rejoins broadcast.
+    sql("q_feature_drift")(
+      """WITH e AS (SELECT CAST(floor(value / 5) AS BIGINT) AS bin,
+        |    event_id % 2 = 0 AS in_a FROM events
+        |  WHERE value IS NOT NULL),
+        |c AS (SELECT bin,
+        |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+        |  FROM e GROUP BY bin),
+        |t AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+        |             CAST(sum(c_b) AS BIGINT) AS n_b FROM c),
+        |j AS (SELECT bin, c_a, c_b, n_a, n_b,
+        |        CAST(abs(c_a * n_b - c_b * n_a) AS BIGINT) AS l1_term
+        |      FROM c, t),
+        |l AS (SELECT CAST(sum(l1_term) AS BIGINT) AS l1_total FROM j)
+        |SELECT bin, c_a, c_b, l1_term, l1_total,
+        |  CAST(l1_total AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS drift
+        |FROM j, l ORDER BY bin""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(floor(col("value") / 5).cast("bigint").as("bin"),
+          (col("event_id") % 2 === 0).as("in_a"))
+      val c = e.groupBy("bin").agg(
+          sum(when(col("in_a"), 1L).otherwise(0L)).cast("bigint")
+            .as("c_a"),
+          sum(when(col("in_a"), 0L).otherwise(1L)).cast("bigint")
+            .as("c_b"))
+        .cache()
+      val tot = c.agg(sum("c_a").cast("bigint").as("n_a"),
+        sum("c_b").cast("bigint").as("n_b"))
+      val j = c.crossJoin(broadcast(tot))
+        .withColumn("l1_term",
+          abs(col("c_a") * col("n_b") - col("c_b") * col("n_a"))
+            .cast("bigint"))
+      val l1 = j.agg(sum("l1_term").cast("bigint").as("l1_total"))
+      j.crossJoin(broadcast(l1))
+        .select(col("bin"), col("c_a"), col("c_b"), col("l1_term"),
+          col("l1_total"),
+          (col("l1_total").cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("drift"))
+        .orderBy("bin")
     }
   )
 }

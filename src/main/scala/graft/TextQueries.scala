@@ -577,6 +577,46 @@ object TextQueries {
         .orderBy("w1", "w2")
     },
 
+    // -- train/test contamination: for each test-split doc, the train-
+    // split docs sharing >= 3 trigrams and the covered fraction of the
+    // test doc's shingles. Inverted-index join (one shuffle on the
+    // shingle key), never the test × train pair space — the leakage
+    // audit every LLM data pipeline runs before training -----------------
+    QuerySpec.sql("q_contamination")(
+      """WITH s AS (SELECT doc_id, text,
+        |    CASE WHEN ((doc_id * 48271 + 11) % 2147483647) % 1000 < 800
+        |         THEN 'train'
+        |         WHEN ((doc_id * 48271 + 11) % 2147483647) % 1000 < 900
+        |         THEN 'val' ELSE 'test' END AS split FROM documents),
+        |toks AS (SELECT doc_id, split, string_split(text,' ') AS t
+        |  FROM s),
+        |sh AS (SELECT doc_id, split, list_distinct(list_transform(
+        |    range(1, greatest(len(t)-2, 0)+1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM toks),
+        |te AS (SELECT doc_id, sh FROM sh
+        |       WHERE split = 'test' AND len(sh) > 0),
+        |tr AS (SELECT doc_id, sh FROM sh
+        |       WHERE split = 'train' AND len(sh) > 0),
+        |p AS (SELECT te.doc_id AS probe_id, tr.doc_id AS corpus_id,
+        |        CAST(len(list_intersect(te.sh, tr.sh)) AS BIGINT)
+        |          AS n_shared,
+        |        CAST(len(te.sh) AS BIGINT) AS sz
+        |      FROM te, tr)
+        |SELECT probe_id, corpus_id, n_shared,
+        |  CAST(n_shared AS DOUBLE) / CAST(sz AS DOUBLE) AS overlap_frac
+        |FROM p WHERE n_shared >= 3
+        |ORDER BY probe_id, corpus_id""".stripMargin) { (s, dir) =>
+      val split = graft.ops.Relational.hashSplit(
+        Q.t(s, dir, "documents"), "doc_id", seed = 11L,
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      Dedup.crossOverlapPairs(
+          split.filter(col("split") === "test"),
+          split.filter(col("split") === "train"),
+          "text", "doc_id", n = 3, minShared = 3L)
+        .orderBy("probe_id", "corpus_id")
+    },
+
     // -- PII/number redaction over event payloads: scrub digit runs,
     // count redactions — a narrow codegen'd map, no shuffle ---------------
     QuerySpec.sql("q_text_scrub")(

@@ -106,6 +106,48 @@ object Dedup {
       .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
   }
 
+  /** Cross-corpus n-gram overlap — the train/test CONTAMINATION check:
+    * for every (probe, corpus) doc pair sharing >= minShared n-grams,
+    * the shared count and the fraction of the probe's shingles it
+    * covers. Same inverted-index shape as [[ngramJaccardPairs]] (one
+    * shuffle on the shingle key, counted intersection, no pair-space
+    * materialization, `maxDf` skew guard) but across TWO corpora, so
+    * the candidate space is |probe postings| × |corpus postings per
+    * shingle| — at 100 TB the probe side (test set) is tiny next to
+    * the corpus (train set) and the join skews broadcast-ish.
+    *
+    * Output: (probe_id, corpus_id, n_shared, overlap_frac).
+    */
+  def crossOverlapPairs(probe: DataFrame, corpus: DataFrame,
+                        textCol: String, idCol: String, n: Int,
+                        minShared: Long,
+                        maxDf: Long = Long.MaxValue): DataFrame = {
+    def posts(df: DataFrame) = {
+      val sized = shingleSets(df, textCol, idCol, n)
+        .select(col("doc_id"), col("sh"),
+          size(col("sh")).cast(LongType).as("sz"))
+        .filter(col("sz") > 0)
+      sized.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+    }
+    val corpusPosts =
+      if (maxDf == Long.MaxValue) posts(corpus)
+      else {
+        val byShingle =
+          org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+        posts(corpus).withColumn("df", count(lit(1)).over(byShingle))
+          .filter(col("df") <= maxDf).drop("df")
+      }
+    posts(probe).as("p").join(corpusPosts.as("c"),
+        col("p.s") === col("c.s"))
+      .groupBy(col("p.doc_id").as("probe_id"),
+        col("c.doc_id").as("corpus_id"), col("p.sz").as("sz_p"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .withColumn("overlap_frac",
+        col("n_shared").cast(DoubleType) / col("sz_p").cast(DoubleType))
+      .select("probe_id", "corpus_id", "n_shared", "overlap_frac")
+  }
+
   /** Join candidate (doc_a, doc_b) pairs back to their shingle sets and
     * keep those with exact Jaccard >= minJaccard.
     */

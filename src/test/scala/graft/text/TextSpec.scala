@@ -35,6 +35,20 @@ class TextSpec extends SparkSpec {
     assert(pairs == Seq(("a", "b"), ("b", "a"), ("a", "b")))
   }
 
+  test("crossOverlapPairs finds planted contamination, skips unrelated") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta"), // == train 1
+      (11L, "red green blue cyan magenta yellow black"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossOverlapPairs(probe, train, "text", "doc_id",
+        n = 3, minShared = 3L)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(out == List((10L, 1L, 5L, 1.0))) // all 5 trigrams covered
+  }
+
   test("redact scrubs every digit run, not just the first") {
     val out = Seq("id 123 and 456, ok").toDF("t")
       .select(TextOps.redact($"t", "[0-9]+", "<NUM>"))
