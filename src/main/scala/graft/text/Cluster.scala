@@ -30,10 +30,28 @@ object Cluster {
     * every document per iteration.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+                          maxIter: Int = 20,
+                          edgesPerPartition: Long = 1000000L): DataFrame = {
+    val symRaw = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+      .distinct()
+    // The fixpoint loop runs at a parallelism sized to the SUBGRAPH,
+    // not the corpus: near-dup edge lists are orders of magnitude
+    // smaller than the input, and iterating a tiny graph across
+    // corpus-scale shuffle partitions pays per-task overhead ×
+    // iterations for nothing. One count sizes it (~16 MB of longs per
+    // partition); hash-partitioning `sym` on src once lets every
+    // iteration's join reuse the cached layout and shuffle only the
+    // label side.
+    // Cache BEFORE the sizing count: edge production (e.g. the n-gram
+    // posting join upstream) is the expensive part, and an uncached
+    // symRaw would re-run it to fill the repartitioned cache below.
+    val symC = symRaw.cache()
+    val nEdges = symC.count()
+    val parts = math.max(1L, math.min(
+      edges.sparkSession.sparkContext.defaultParallelism.toLong,
+      nEdges / edgesPerPartition + 1L)).toInt
+    val sym = symC.repartition(parts, col("src")).cache()
     // `sym` holds both orientations, so src alone covers every endpoint.
     val touched = sym.select(col("src").as("id")).distinct()
     var labels = touched.select(col("id"), col("id").as("component"))
@@ -52,7 +70,12 @@ object Cluster {
       // (own component, best neighbor candidate)
       val candidates = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("component"))
+      // Explicit repartition pins the aggregation to the subgraph-sized
+      // partition count (the session-wide shuffle.partitions knob is
+      // sized for the corpus); groupBy reuses the layout, so this is
+      // still exactly one exchange per iteration.
       val next = labels.unionByName(candidates)
+        .repartition(parts, col("id"))
         .groupBy("id").agg(min("component").as("component"))
         .cache()
       val newSum = next.agg(coalesce(sum("component"), lit(0L)))
@@ -67,6 +90,7 @@ object Cluster {
       .join(labels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
     val out = labels.unionByName(isolated)
+    symC.unpersist()
     sym.unpersist()
     out
   }
@@ -78,8 +102,12 @@ object Cluster {
                     n: Int, minJaccard: Double): DataFrame = {
     val pairs = Dedup.ngramJaccardPairs(docs, textCol, idCol, n,
       minJaccard)
+    // Persisted, like the signature tables in Dedup: the edge list is
+    // tiny next to the corpus, feeds the sizing count plus every
+    // fixpoint iteration, and the posting self-join that produces it is
+    // the expensive stage — never recompute it.
     val edges = pairs.select(col("doc_a").as("src"),
-      col("doc_b").as("dst"))
+      col("doc_b").as("dst")).persist()
     val vertices = docs.select(col(idCol).as("id"))
     connectedComponents(vertices, edges)
       .withColumn("is_canonical", (col("id") === col("component"))
