@@ -172,8 +172,21 @@ object Similarity {
               seed: Long = 42L): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val trainDf = corpus.select(
-      org.apache.spark.ml.functions.array_to_vector(
+    // Train the coarse quantizer on a bounded deterministic sample
+    // (~256 vectors per cell, the standard IVF training budget — at
+    // 100 TB you never k-means the full corpus, and cell QUALITY only
+    // affects recall/speed, never the probe-join semantics). Hash-gated
+    // like sampleStratifiedHash so the centroids are reproducible
+    // across runs and partitionings; count() is cheap on parquet
+    // (metadata-only when unfiltered).
+    val budget = nlist.toLong * 256L
+    val total = corpus.count()
+    val permille = if (total <= budget) 1000L
+      else math.max(1L, budget * 1000L / total)
+    val trainDf = corpus
+      .filter(pmod(pmod(col(idCol).cast(LongType) * 48271L + lit(seed),
+        lit(2147483647L)), lit(1000L)) < permille)
+      .select(org.apache.spark.ml.functions.array_to_vector(
         col(vecCol).cast(ArrayType(DoubleType))).as("fv"))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("fv")
