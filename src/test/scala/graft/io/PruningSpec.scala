@@ -39,4 +39,38 @@ class PruningSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") &&
       plan.contains("GreaterThan(l_quantity,49.0)"), plan)
   }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // At 100 TB a selective dim predicate should reach the fact scan
+    // BEFORE the shuffle: Spark's runtime bloom filter builds on the
+    // filtered creation side and injects might_contain into the fact
+    // scan. Thresholds are sized for cluster tables, so the test
+    // lowers them; conf restored after (shared session contract).
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "-1") // force a shuffle join
+      spark.conf.set(keys(1), "true")
+      spark.conf.set(keys(2), "0")
+      spark.conf.set(keys(3), "100MB")
+      val orders = Tables.table(spark, "/root/testdata/sf0.001",
+        "orders").filter($"o_totalprice" > 400000.0)
+      val li = Tables.table(spark, "/root/testdata/sf0.001", "lineitem")
+      val j = li.join(orders, $"l_orderkey" === $"o_orderkey")
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") ||
+        plan.contains("might_contain"), plan)
+      // semantics unchanged by the injected filter
+      val expected = li.join(orders.hint("broadcast"),
+        $"l_orderkey" === $"o_orderkey").count()
+      assert(j.count() == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
