@@ -32,6 +32,10 @@ object Native {
     */
   def qnorm2Long(a: Column): Column = qdotLong(a, a)
 
+  /** Codegen'd k-band MinHash signature (see [[MinHashSig]]). */
+  def minhashSig(hs: Column, k: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(hs), k))
+
   private[functions] val registrations
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq((

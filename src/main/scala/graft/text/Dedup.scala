@@ -175,14 +175,13 @@ object Dedup {
     * children per invocation, so an inlined hash array would be
     * recomputed k times per row.
     */
-  def minhashSignature(hs: Column, k: Int): Column = {
-    // Higher-order functions evaluate interpreted (no codegen), so cost
-    // is per-expression-NODE: keep exactly one hash node per (band,
-    // element) — xxhash64 seeded by the band index over the 8-byte base
-    // hash, not the shingle string.
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(hs, h => xxhash64(j, h))))
-  }
+  def minhashSignature(hs: Column, k: Int): Column =
+    // Native codegen'd k×n min-hash loop (functions.MinHashSig) —
+    // bit-identical to the declarative
+    // `transform(sequence(0,k-1), j -> array_min(transform(hs, h ->
+    // xxhash64(j, h))))` but one tight Java loop instead of an
+    // interpreted nested HOF with a k×n intermediate per row.
+    graft.functions.Native.minhashSig(hs, k)
 
   /** One xxhash64 per distinct shingle — the base hashes the k-band
     * signature derives from.
