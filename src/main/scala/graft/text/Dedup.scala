@@ -122,11 +122,16 @@ object Dedup {
                         textCol: String, idCol: String, n: Int,
                         minShared: Long,
                         maxDf: Long = Long.MaxValue): DataFrame = {
+    // Persisted like ngramJaccardPairs' set table: shingling is the
+    // expensive narrow stage and each side feeds the join exactly once
+    // per invocation — the 100 TB analogue is materializing the shingle
+    // tables before the join stage.
     def posts(df: DataFrame) = {
       val sized = shingleSets(df, textCol, idCol, n)
         .select(col("doc_id"), col("sh"),
           size(col("sh")).cast(LongType).as("sz"))
         .filter(col("sz") > 0)
+        .persist()
       sized.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
     }
     val corpusPosts =
