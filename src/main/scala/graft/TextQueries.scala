@@ -268,10 +268,13 @@ object TextQueries {
       val tok = Q.t(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text")))
           .as("term"))
+      // Persisted: tf feeds the score join AND derives df (tf rows are
+      // already distinct per (doc_id, term), so df = count per term —
+      // no second corpus tokenization, no count-distinct expand).
       val tf = tok.groupBy("doc_id", "term")
         .agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy("term")
-        .agg(countDistinct("doc_id").as("df"))
+        .persist()
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       // Corpus size stays IN the plan (broadcast 1-row cross join), not
       // a driver-side .count() — one job, no eager action at build time.
       val n = Q.t(s, dir, "documents")
