@@ -620,6 +620,73 @@ object TextQueries {
         .orderBy("probe_id", "corpus_id")
     },
 
+    // -- document chunking: token-bounded overlapping passages (size 32,
+    // stride 24) — the passage splitter feeding embedding/RAG indexes.
+    // Pure per-row array math (sequence + slice), explode fans out
+    // chunks; narrow until the fan-out, no shuffle at all ---------------
+    QuerySpec.sql("q_chunk_docs")(
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS t,
+        |    len(string_split(text,' ')) AS n FROM documents),
+        |m AS (SELECT doc_id, t,
+        |    CASE WHEN n <= 32 THEN 1
+        |         ELSE (n - 32 + 23) // 24 + 1 END AS n_chunks
+        |  FROM d WHERE n > 0),
+        |c AS (SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+        |        list_slice(t, u.i*24 + 1, u.i*24 + 32) AS ch
+        |      FROM m, unnest(range(0, n_chunks)) AS u(i))
+        |SELECT doc_id, chunk_idx, array_to_string(ch, ' ') AS chunk,
+        |  CAST(len(ch) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      val (size_, stride) = (32, 24)
+      val d = Q.t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .withColumn("n", size(col("t")))
+        .filter(col("n") > 0)
+        .withColumn("n_chunks", when(col("n") <= size_, 1)
+          .otherwise(floor((col("n") - size_ + (stride - 1)) / stride)
+            .cast(IntegerType) + 1))
+      d.select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), col("n_chunks") - 1)).as("i"))
+        .select(col("doc_id"), col("i").cast(LongType).as("chunk_idx"),
+          slice(col("t"), col("i") * stride + 1, lit(size_)).as("ch"))
+        .select(col("doc_id"), col("chunk_idx"),
+          concat_ws(" ", col("ch")).as("chunk"),
+          size(col("ch")).cast(LongType).as("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // -- sequence packing offsets: concat-and-chunk accounting per
+    // source stream (2048-token training sequences). Window cumsum is
+    // PARTITIONED by source — parallel at scale, unlike a global
+    // running sum. All-integer, so the oracle is exact ------------------
+    QuerySpec.sql("q_pack_offsets")(
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |o AS (SELECT doc_id, source, n,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM d)
+        |SELECT doc_id, source, n, off,
+        |  off // 2048 AS first_seq, (off + n - 1) // 2048 AS last_seq,
+        |  (off + n - 1) // 2048 - off // 2048 + 1 AS n_seqs
+        |FROM o ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val o = Q.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n"))
+        .withColumn("off", coalesce(sum("n").over(w), lit(0L)))
+      val first = floor(col("off") / 2048).cast(LongType)
+      val last = floor((col("off") + col("n") - 1) / 2048).cast(LongType)
+      o.select(col("doc_id"), col("source"), col("n"), col("off"),
+          first.as("first_seq"), last.as("last_seq"),
+          (last - first + 1).as("n_seqs"))
+        .orderBy("doc_id")
+    },
+
     // -- PII/number redaction over event payloads: scrub digit runs,
     // count redactions — a narrow codegen'd map, no shuffle ---------------
     QuerySpec.sql("q_text_scrub")(
