@@ -116,6 +116,32 @@ object Streams {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming corpus-dedup: keep only documents NOVEL against a static
+    * historical corpus AND within the stream itself — the ingest gate
+    * of a continuously-growing training corpus. Content hash on the
+    * stream side is a narrow map; the corpus side is a static
+    * DataFrame of hashes (stream-static equi-join, which Spark
+    * broadcasts or shuffles per its size each micro-batch); the
+    * within-stream guard is watermark-bounded dedup state. Implemented
+    * as left_outer + IS NULL (the stream-static-supported spelling of
+    * anti-join).
+    */
+  def novelAgainstCorpus(stream: DataFrame, corpus: DataFrame,
+                         textCol: String, tsCol: String,
+                         watermark: String): DataFrame = {
+    val hashed = stream.withColumn("__h",
+      graft.text.TextOps.contentHash(col(textCol)))
+    val seen = corpus
+      .select(graft.text.TextOps.contentHash(col(textCol)).as("__h"),
+        lit(1).as("__seen"))
+      .distinct()
+    hashed.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .join(seen, Seq("__h"), "left_outer")
+      .filter(col("__seen").isNull)
+      .drop("__h", "__seen")
+  }
+
   /** The logger loop sink (A3/A20): every micro-batch appends to a
     * parquet training table — at-least-once, append-only, no dedup,
     * exactly mirroring logger/main.py:107-150. `trigger` defaults to the

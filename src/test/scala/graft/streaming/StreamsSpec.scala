@@ -174,6 +174,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("novelAgainstCorpus gates known corpus docs and in-stream dups") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq("old doc one", "old doc two").toDF("text")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.novelAgainstCorpus(
+        in.toDF().toDF("doc_id", "ts", "text"), corpus,
+        "text", "ts", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("novel")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 10:00:00"), "old doc one"),   // in corpus
+        (2L, ts("2024-01-01 10:00:30"), "brand new doc"), // novel
+        (3L, ts("2024-01-01 10:01:00"), "brand new doc")) // stream dup
+      q.processAllAvailable()
+      in.addData(
+        (4L, ts("2024-01-01 10:02:00"), "old doc two"),   // in corpus
+        (5L, ts("2024-01-01 10:03:00"), "another new"))   // novel
+      q.processAllAvailable()
+      val out = spark.table("novel").select("doc_id")
+        .as[Long].collect().toSet
+      assert(out == Set(2L, 5L))
+    } finally q.stop()
+  }
+
   test("upsertLoop merges latest-per-key, rewriting only touched " +
       "buckets") {
     implicit val sqlCtx = spark.sqlContext
