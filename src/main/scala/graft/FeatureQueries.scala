@@ -61,6 +61,46 @@ object FeatureQueries {
         .orderBy("user_id", "session_idx")
     },
 
+    // Session path analysis on top of sessionize: the ordered
+    // event-type journey per session, then journey frequencies — the
+    // behavioral-pattern rollup over the same one-shuffle session
+    // assignment. Path build is an ordered in-group collect (struct
+    // sort, no second window); the journey count is a tiny aggregate.
+    sql("q_user_journeys")(
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |              > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_idx
+        |  FROM s),
+        |j AS (
+        |  SELECT user_id, session_idx,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s2 GROUP BY user_id, session_idx)
+        |SELECT path, count(*) AS n_sessions
+        |FROM j GROUP BY path
+        |ORDER BY n_sessions DESC, path""".stripMargin) { (s, dir) =>
+      Relational.sessionize(t(s, dir, "events"), "user_id", "ts",
+          "event_id", gapSeconds = 1800)
+        .groupBy("user_id", "session_idx")
+        .agg(array_join(
+          transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            e => e.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+    },
+
     // Point-in-time training set: for each click, the user's purchase
     // history *so far* (count + exact running total). The as-of join is
     // the union+window algorithm — no range-join blowup at scale.

@@ -637,21 +637,8 @@ object TextQueries {
         |SELECT doc_id, chunk_idx, array_to_string(ch, ' ') AS chunk,
         |  CAST(len(ch) AS BIGINT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
-      val (size_, stride) = (32, 24)
-      val d = Q.t(s, dir, "documents")
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-        .withColumn("n", size(col("t")))
-        .filter(col("n") > 0)
-        .withColumn("n_chunks", when(col("n") <= size_, 1)
-          .otherwise(floor((col("n") - size_ + (stride - 1)) / stride)
-            .cast(IntegerType) + 1))
-      d.select(col("doc_id"), col("t"),
-          explode(sequence(lit(0), col("n_chunks") - 1)).as("i"))
-        .select(col("doc_id"), col("i").cast(LongType).as("chunk_idx"),
-          slice(col("t"), col("i") * stride + 1, lit(size_)).as("ch"))
-        .select(col("doc_id"), col("chunk_idx"),
-          concat_ws(" ", col("ch")).as("chunk"),
-          size(col("ch")).cast(LongType).as("n_tokens"))
+      TextOps.chunkDocs(Q.t(s, dir, "documents"), "text", "doc_id",
+          size = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx")
     },
 

@@ -91,6 +91,35 @@ object TextOps {
         .add("w1", StringType).add("w2", StringType))))
   }
 
+  /** Token-bounded overlapping passage chunking (the splitter feeding
+    * embedding/RAG indexes): chunk i covers token positions
+    * [i·stride, i·stride + size); docs shorter than `size` yield one
+    * chunk. Pure per-row array math (sequence + slice) fanned out by
+    * explode — narrow until the fan-out, zero shuffle.
+    *
+    * Output: (doc_id, chunk_idx, chunk, n_tokens).
+    */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+                size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val d = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("t")))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks", when(col("n") <= size, 1)
+        .otherwise(floor((col("n") - size + (stride - 1)) / stride)
+          .cast(IntegerType) + 1))
+    d.select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("i"))
+      .select(col("doc_id"), col("i").cast(LongType).as("chunk_idx"),
+        slice(col("t"), col("i") * stride + 1, lit(size)).as("ch"))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", col("ch")).as("chunk"),
+        org.apache.spark.sql.functions.size(col("ch")).cast(LongType)
+          .as("n_tokens"))
+  }
+
   /** Redact every run matching `pattern` (e.g. digit runs, emails) with
     * a placeholder — the PII-scrub primitive. Pure regexp_replace, so
     * it stays a narrow codegen'd map at any scale. DuckDB mirror needs

@@ -95,6 +95,32 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("chunkDocs reconstructs every doc from its chunks") =
+    Prop.forAll(
+      Gen.listOfN(5, Gen.chooseNum(1, 90)),
+      Gen.chooseNum(2, 12).flatMap(sz =>
+        Gen.chooseNum(1, sz).map(st => (sz, st)))) {
+      case (lens, (size, stride)) =>
+        val docs = lens.zipWithIndex.map { case (n, i) =>
+          (i.toLong, (0 until n).map(j => s"t$j").mkString(" "))
+        }
+        val out = graft.text.TextOps
+          .chunkDocs(docs.toDF("doc_id", "text"), "text", "doc_id",
+            size, stride)
+          .select("doc_id", "chunk_idx", "chunk")
+          .as[(Long, Long, String)].collect()
+          .groupBy(_._1)
+        docs.forall { case (id, text) =>
+          val chunks = out(id).sortBy(_._2).map(_._3.split(" ").toList)
+          // every chunk but the last is full-size and starts `stride`
+          // tokens after its predecessor, so taking the stride-prefix
+          // of each plus the whole last chunk rebuilds the doc exactly
+          val rebuilt =
+            chunks.init.flatMap(_.take(stride)) ++ chunks.last
+          rebuilt.mkString(" ") == text
+        }
+    }
+
   property("quantized cosine is in [-1, 1] and symmetric") =
     Prop.forAll(Gen.listOfN(6,
       Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0)))) { vecs =>
