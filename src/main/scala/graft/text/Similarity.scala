@@ -190,6 +190,7 @@ object Similarity {
         col(vecCol).cast(ArrayType(DoubleType))).as("fv"))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("fv")
+      .setMaxIter(10) // coarse quantizer: cell quality plateaus early
       .fit(trainDf)
     val centers = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i.toLong, v.toArray) }.toSeq
