@@ -61,6 +61,73 @@ object FeatureQueries {
         .orderBy("user_id", "session_idx")
     },
 
+    // Interval-overlap join (range × range): sessions concurrent with
+    // error-containing sessions. Catalyst alone would nested-loop the
+    // full session-pair space; Relational.intervalJoin bands intervals
+    // into coarse hour buckets and equi-joins on the band key — join
+    // volume tracks actually-overlapping pairs at any scale.
+    sql("q_join_interval")(
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |              > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_idx
+        |  FROM s),
+        |g AS (SELECT user_id, session_idx,
+        |        CAST(session_idx AS BIGINT) AS sidx,
+        |        min(ts) AS st, max(ts) AS en,
+        |        sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |          AS n_err
+        |      FROM s2 GROUP BY 1, 2)
+        |SELECT i.user_id AS user_a, i.sidx AS session_a,
+        |       g.user_id AS user_b, g.sidx AS session_b,
+        |       CAST((epoch_us(least(i.en, g.en)) -
+        |             epoch_us(greatest(i.st, g.st))) // 1000000
+        |         AS BIGINT) AS overlap_sec
+        |FROM g i JOIN g ON i.n_err >= 1
+        |  AND i.st <= g.en AND g.st <= i.en
+        |  AND NOT (i.user_id = g.user_id
+        |           AND i.session_idx = g.session_idx)
+        |ORDER BY user_a, session_a, user_b, session_b""".stripMargin) {
+      (s, dir) =>
+        // Sessions built once (the same one-shuffle sessionize), cached
+        // for both join sides.
+        val sessions = Relational
+          .sessionize(t(s, dir, "events"), "user_id", "ts", "event_id",
+            gapSeconds = 1800)
+          .groupBy("user_id", "session_idx")
+          .agg(min(col("ts")).as("st"), max(col("ts")).as("en"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              .as("n_err"))
+          .persist()
+        val a = sessions.filter(col("n_err") >= 1)
+          .select(col("user_id").as("user_a"),
+            col("session_idx").cast("bigint").as("session_a"),
+            col("st").as("st_a"), col("en").as("en_a"))
+        val b = sessions
+          .select(col("user_id").as("user_b"),
+            col("session_idx").cast("bigint").as("session_b"),
+            col("st").as("st_b"), col("en").as("en_b"))
+        Relational.intervalJoin(a, b, "st_a", "en_a", "st_b", "en_b",
+            bucketSeconds = 3600L)
+          .filter(not(col("user_a") === col("user_b") &&
+            col("session_a") === col("session_b")))
+          .select(col("user_a"), col("session_a"), col("user_b"),
+            col("session_b"),
+            floor((unix_micros(least(col("en_a"), col("en_b"))) -
+              unix_micros(greatest(col("st_a"), col("st_b")))) / 1000000)
+              .cast("bigint").as("overlap_sec"))
+          .orderBy("user_a", "session_a", "user_b", "session_b")
+    },
+
     // Session path analysis on top of sessionize: the ordered
     // event-type journey per session, then journey frequencies — the
     // behavioral-pattern rollup over the same one-shuffle session

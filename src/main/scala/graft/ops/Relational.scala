@@ -206,6 +206,37 @@ object Relational {
       .select(df.columns.map(col): _*)
   }
 
+  /** Interval-overlap join (range × range) via coarse time banding —
+    * the scale path for a join Catalyst can only express as a
+    * nested-loop over the full pair space. Each interval explodes into
+    * the `bucketSeconds`-wide bands it covers; candidates come from a
+    * plain equi-join on the band key (shuffle-on-key, AQE-managed);
+    * the exact overlap predicate filters inside the join and a final
+    * distinct removes multi-band duplicates. Pick `bucketSeconds` near
+    * the typical interval length: bands per interval stays O(1), so
+    * join volume is O(overlapping pairs), never O(n²).
+    *
+    * Inclusive overlap: [aStart, aEnd] ∩ [bStart, bEnd] ≠ ∅. Column
+    * names of `a` and `b` must be disjoint (rename before calling).
+    */
+  def intervalJoin(a: DataFrame, b: DataFrame,
+                   aStart: String, aEnd: String,
+                   bStart: String, bEnd: String,
+                   bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val us = bucketSeconds * 1000000L
+    def banded(df: DataFrame, s: String, e: String) =
+      df.withColumn("__bkt", explode(sequence(
+        floor(unix_micros(col(s)) / us).cast("long"),
+        floor(unix_micros(col(e)) / us).cast("long"))))
+    banded(a, aStart, aEnd).as("a")
+      .join(banded(b, bStart, bEnd).as("b"),
+        col("a.__bkt") === col("b.__bkt") &&
+          col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .drop("__bkt")
+      .distinct()
+  }
+
   /** Deterministic train/val/test assignment: split = the first band
     * whose cumulative permille bound exceeds hash(id) mod 1000. Same
     * Lehmer-step hash (and the same reproducibility contract) as

@@ -105,6 +105,27 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("intervalJoin matches the quadratic overlap join across buckets") {
+    val a = Seq(
+      (1L, ts("2024-01-01 00:30:00"), ts("2024-01-01 02:30:00")),
+      (2L, ts("2024-01-01 05:00:00"), ts("2024-01-01 05:10:00")))
+      .toDF("aid", "st_a", "en_a")
+    val b = Seq(
+      (10L, ts("2024-01-01 02:00:00"), ts("2024-01-01 03:00:00")), // ∩ 1
+      (11L, ts("2024-01-01 02:30:00"), ts("2024-01-01 02:30:00")), // touch 1
+      (12L, ts("2024-01-01 03:00:01"), ts("2024-01-01 04:00:00")), // none
+      (13L, ts("2024-01-01 04:30:00"), ts("2024-01-01 05:01:00"))) // ∩ 2
+      .toDF("bid", "st_b", "en_b")
+    val out = Relational.intervalJoin(a, b, "st_a", "en_a",
+        "st_b", "en_b", bucketSeconds = 3600L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (1L, 11L), (2L, 13L)))
+    // multi-bucket spans produce each pair exactly once
+    val n = Relational.intervalJoin(a, b, "st_a", "en_a",
+      "st_b", "en_b", bucketSeconds = 60L).count()
+    assert(n == 3L)
+  }
+
   test("hashSplit is exhaustive, disjoint, and stable under growth") {
     val bands = Seq("train" -> 800, "val" -> 100, "test" -> 100)
     val small = spark.range(0, 100).toDF("id")
