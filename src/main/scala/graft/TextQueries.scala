@@ -620,6 +620,63 @@ object TextQueries {
         .orderBy("probe_id", "corpus_id")
     },
 
+    // -- statistical LM quality score: mean corpus-bigram transition
+    // frequency per doc (a perplexity proxy without logs). Each
+    // transition's P(w2|w1) = c_xy/c_x is quantized to integer ppm
+    // BEFORE the per-doc sum, so aggregation order cannot perturb the
+    // float result; one final IEEE division per doc. Fluent docs (high
+    // mean) separate from shuffled/garbage text (low mean) ---------------
+    QuerySpec.sql("q_lm_score")(
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |         i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+        |       FROM toks WHERE len(t) >= 2),
+        |tr AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM bg),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+        |       FROM tr GROUP BY 1, 2),
+        |uc AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x FROM bc
+        |       GROUP BY 1),
+        |q AS (SELECT tr.doc_id, bc.c_xy * 1000000 // uc.c_x AS ppm
+        |      FROM tr JOIN bc ON tr.w1 = bc.w1 AND tr.w2 = bc.w2
+        |      JOIN uc ON bc.w1 = uc.w1)
+        |SELECT doc_id, count(*) AS n_trans,
+        |  CAST(sum(ppm) AS BIGINT) AS sum_ppm,
+        |  CAST(sum(ppm) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mean_ppm
+        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val toked = Q.t(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        // Persisted: the per-transition table feeds bigram counts,
+        // left-word totals (derived, no extra corpus pass), and the
+        // scoring join.
+        val bg = toked
+          .select(col("doc_id"), TextOps.bigramPairs(col("toks"))
+            .as("bp"))
+          .filter(size(col("bp")) > 0)
+          .select(col("doc_id"), explode(col("bp")).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"),
+            col("p.w2").as("w2"))
+          .persist()
+        val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+          .persist()
+        val uc = bc.groupBy("w1").agg(sum("c_xy").cast("bigint")
+          .as("c_x"))
+        bg.join(bc, Seq("w1", "w2"))
+          .join(uc, Seq("w1"))
+          .select(col("doc_id"),
+            floor(col("c_xy") * 1000000L / col("c_x")).cast("bigint")
+              .as("ppm"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_trans"),
+            sum("ppm").cast("bigint").as("sum_ppm"))
+          .select(col("doc_id"), col("n_trans"), col("sum_ppm"),
+            (col("sum_ppm").cast(DoubleType) /
+              col("n_trans").cast(DoubleType)).as("mean_ppm"))
+          .orderBy("doc_id")
+    },
+
     // -- document chunking: token-bounded overlapping passages (size 32,
     // stride 24) — the passage splitter feeding embedding/RAG indexes.
     // Pure per-row array math (sequence + slice), explode fans out
