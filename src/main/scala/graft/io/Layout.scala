@@ -81,4 +81,30 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Compact a parquet directory to ~`targetFileBytes` output files —
+    * the small-file remedy for append-heavy sinks (each streaming
+    * micro-batch / retry leaves its own files; thousands of tiny files
+    * turn a 100 TB scan into a metadata stampede). Sizing comes from
+    * the actual on-disk bytes (file listing, no data read); the rewrite
+    * itself is one shuffle-free coalesce when shrinking. Returns the
+    * output file count.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val dir = new java.io.File(path)
+    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      .toInt
+    val tmp = path + "__compact_tmp"
+    spark.read.parquet(path).coalesce(n)
+      .write.mode("overwrite").parquet(tmp)
+    // Swap atomically at the directory level.
+    val old = new java.io.File(path + "__compact_old")
+    require(dir.renameTo(old) && new java.io.File(tmp).renameTo(dir),
+      s"compaction swap failed for $path")
+    old.listFiles().foreach(_.delete()); old.delete()
+    n
+  }
 }

@@ -69,4 +69,22 @@ class LayoutSpec extends SparkSpec {
     val n = spark.read.parquet(zdir).count()
     assert(n == ev.count())
   }
+
+  test("compact merges a fragmented sink, preserving every row") {
+    val dir = Files.createTempDirectory("fragged").toString + "/t"
+    val ev = graft.io.Tables.table(spark, "/root/testdata/sf0.001",
+      "events").select("event_id", "user_id", "value")
+    ev.repartition(37).write.parquet(dir) // simulate micro-batch litter
+    val before = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 30)
+    val sum0 = ev.agg(sum("event_id")).as[Long].head()
+    val nOut = Layout.compact(spark, dir, targetFileBytes = 512L * 1024)
+    val after = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after == nOut && after < before, s"$before -> $after")
+    val re = spark.read.parquet(dir)
+    assert(re.count() == ev.count())
+    assert(re.agg(sum("event_id")).as[Long].head() == sum0)
+  }
 }
