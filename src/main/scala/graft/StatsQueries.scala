@@ -170,6 +170,37 @@ object StatsQueries {
         .orderBy("event_id")
     },
 
+    // Quantile binning (feature engineering): assign each event its
+    // corpus value-quartile. The SCALABLE shape: exact discrete
+    // quartile thresholds from one aggregate, broadcast back, CASE
+    // assignment in a narrow map — never a global ntile() window
+    // (which would collapse the corpus into one sorting task).
+    sql("q_quantile_bin")(
+      """WITH t AS (SELECT quantile_disc(value, 0.25) AS q1,
+        |    quantile_disc(value, 0.5) AS q2,
+        |    quantile_disc(value, 0.75) AS q3 FROM events)
+        |SELECT event_id, value,
+        |  CASE WHEN value <= q1 THEN 1 WHEN value <= q2 THEN 2
+        |       WHEN value <= q3 THEN 3 ELSE 4 END AS bin
+        |FROM events, t WHERE value IS NOT NULL
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val th = ev.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)")
+          .as("q1"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+          .as("q2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)")
+          .as("q3"))
+      ev.crossJoin(broadcast(th))
+        .select(col("event_id"), col("value"),
+          when(col("value") <= col("q1"), 1)
+            .when(col("value") <= col("q2"), 2)
+            .when(col("value") <= col("q3"), 3)
+            .otherwise(4).as("bin"))
+        .orderBy("event_id")
+    },
+
     // Distribution drift between two event populations (A = even ids,
     // B = odd ids) over value buckets — the feature-drift monitor of a
     // training pipeline, with the L1 distance computed EXACTLY in
