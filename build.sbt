@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver+executors in ONE JVM; the query library
+  // persists its reused intermediates (shingle/signature/edge tables),
+  // so the heap must hold storage for the whole suite — 8g forced
+  // cache eviction + GC churn across ~100 queries on the 128 GiB box.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
