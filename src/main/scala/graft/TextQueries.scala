@@ -620,6 +620,64 @@ object TextQueries {
         .orderBy("probe_id", "corpus_id")
     },
 
+    // -- corpus mixture report: docs/tokens/share per source × lang —
+    // the training-mix accounting behind every data card. One
+    // aggregate; the grand total folds in as a broadcast 1-row agg ----
+    QuerySpec.sql("q_domain_mix")(
+      """WITH d AS (SELECT source, lang,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |g AS (SELECT source, lang, count(*) AS n_docs,
+        |        CAST(sum(n) AS BIGINT) AS n_tokens
+        |      FROM d GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM g)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)
+        |    AS token_share
+        |FROM g, t ORDER BY source, lang""".stripMargin) { (s, dir) =>
+      val g = Q.t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n").cast(LongType).as("n_tokens"))
+        .cache()
+      val t = g.agg(sum("n_tokens").cast(LongType).as("total"))
+      g.crossJoin(broadcast(t))
+        .select(col("source"), col("lang"), col("n_docs"),
+          col("n_tokens"),
+          (col("n_tokens").cast(DoubleType) /
+            col("total").cast(DoubleType)).as("token_share"))
+        .orderBy("source", "lang")
+    },
+
+    // -- skip-gram co-occurrence counts (±2 window, both orientations)
+    // — the pair stream feeding embedding training / PMI matrices.
+    // Per-row slice/zip emission (no self-join on position), one
+    // map-side-combinable aggregate --------------------------------------
+    QuerySpec.sql("q_cooccur_window")(
+      """WITH toks AS (SELECT string_split(text,' ') AS t
+        |  FROM documents),
+        |p AS (SELECT unnest(list_concat(list_concat(
+        |    list_transform(range(1, greatest(len(t)-1, 0)+1),
+        |      i -> struct_pack(w := t[i], c := t[i+1])),
+        |    list_transform(range(1, greatest(len(t)-1, 0)+1),
+        |      i -> struct_pack(w := t[i+1], c := t[i]))), list_concat(
+        |    list_transform(range(1, greatest(len(t)-2, 0)+1),
+        |      i -> struct_pack(w := t[i], c := t[i+2])),
+        |    list_transform(range(1, greatest(len(t)-2, 0)+1),
+        |      i -> struct_pack(w := t[i+2], c := t[i]))))) AS pr
+        |  FROM toks)
+        |SELECT pr['w'] AS w, pr['c'] AS c, count(*) AS cnt
+        |FROM p GROUP BY 1, 2 ORDER BY w, c""".stripMargin) { (s, dir) =>
+      Q.t(s, dir, "documents")
+        .select(TextOps.tokens(col("text")).as("toks"))
+        .select(explode(TextOps.skipgramPairs(col("toks"), 2)).as("pr"))
+        .select(col("pr.w").as("w"), col("pr.c").as("c"))
+        .groupBy("w", "c").agg(count(lit(1)).as("cnt"))
+        .orderBy("w", "c")
+    },
+
     // -- statistical LM quality score: mean corpus-bigram transition
     // frequency per doc (a perplexity proxy without logs). Each
     // transition's P(w2|w1) = c_xy/c_x is quantized to integer ppm

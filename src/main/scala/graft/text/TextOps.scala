@@ -91,6 +91,29 @@ object TextOps {
         .add("w1", StringType).add("w2", StringType))))
   }
 
+  /** Ordered (center, context) skip-gram pairs within ±maxOffset — the
+    * co-occurrence stream feeding embedding training / PMI matrices.
+    * Both orientations emitted per offset; same slice/zip construction
+    * (and attribute-column caveat) as [[shingles]].
+    */
+  def skipgramPairs(toks: Column, maxOffset: Int): Column = {
+    require(maxOffset >= 1, s"maxOffset must be >= 1, got $maxOffset")
+    val emptyPairs = array().cast(ArrayType(new StructType()
+      .add("w", StringType).add("c", StringType)))
+    val parts = (1 to maxOffset).flatMap { k =>
+      val m = size(toks) - k
+      val fwd = zip_with(slice(toks, lit(1), m),
+        slice(toks, lit(1 + k), m),
+        (a, b) => struct(a.as("w"), b.as("c")))
+      val bwd = zip_with(slice(toks, lit(1 + k), m),
+        slice(toks, lit(1), m),
+        (a, b) => struct(a.as("w"), b.as("c")))
+      Seq(fwd, bwd).map(e =>
+        when(size(toks) > k, e).otherwise(emptyPairs))
+    }
+    concat(parts: _*)
+  }
+
   /** Token-bounded overlapping passage chunking (the splitter feeding
     * embedding/RAG indexes): chunk i covers token positions
     * [i·stride, i·stride + size); docs shorter than `size` yield one
