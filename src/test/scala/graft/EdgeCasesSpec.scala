@@ -68,6 +68,42 @@ class EdgeCasesSpec extends SparkSpec {
     assert(frames == Seq((1L, 0L, 0L)))
   }
 
+  test("chunk/skipgram/contamination ops stay empty-safe on degenerate " +
+      "docs") {
+    val degenerate = Seq((1L, "solo"), (2L, "two words"))
+      .toDF("doc_id", "text")
+    // chunkDocs: every doc shorter than `size` yields exactly one chunk
+    val chunks = TextOps.chunkDocs(degenerate, "text", "doc_id", 32, 24)
+      .as[(Long, Long, String, Long)].collect().toList.sortBy(_._1)
+    assert(chunks == List((1L, 0L, "solo", 1L), (2L, 0L, "two words", 2L)))
+    // skipgrams: single-token doc emits nothing; two tokens emit both
+    // orientations at offset 1, nothing at offset 2
+    val pairs = degenerate
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id",
+        explode(TextOps.skipgramPairs($"toks", 2)).as("p"))
+      .select($"doc_id", $"p.w", $"p.c")
+      .as[(Long, String, String)].collect().toSet
+    assert(pairs == Set((2L, "two", "words"), (2L, "words", "two")))
+    // contamination with an empty probe side is empty, not a crash
+    val none = Dedup.crossOverlapPairs(
+      degenerate.filter($"doc_id" < 0), degenerate,
+      "text", "doc_id", n = 3, minShared = 1L)
+    assert(none.count() == 0)
+  }
+
+  test("intervalJoin with point intervals joins only exact instants") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:01")
+    val a = Seq((1L, ts0, ts0)).toDF("aid", "st_a", "en_a")
+    val b = Seq((10L, ts0, ts0), (11L, ts1, ts1))
+      .toDF("bid", "st_b", "en_b")
+    val out = graft.ops.Relational.intervalJoin(a, b,
+        "st_a", "en_a", "st_b", "en_b", bucketSeconds = 3600L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L)))
+  }
+
   test("profile counts nulls out of n_nonnull") {
     val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "a"))
       .toDF("k", "v")
