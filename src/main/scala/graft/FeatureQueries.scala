@@ -61,6 +61,33 @@ object FeatureQueries {
         .orderBy("user_id", "session_idx")
     },
 
+    // SCD2 / temporal-table view: each observation becomes a
+    // [valid_from, valid_to) version row via lead() — the history-table
+    // build behind point-in-time semantics (the intervalized form the
+    // bucketed feature-store PIT path joins against). Partitioned
+    // window, one shuffle on the entity key.
+    sql("q_scd2")(
+      """SELECT user_id, ts AS valid_from,
+        |  coalesce(lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id),
+        |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |  value, (lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) IS NULL) AS is_current
+        |FROM events WHERE value IS NOT NULL
+        |ORDER BY user_id, valid_from, event_id""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val nxt = lead(col("ts"), 1).over(w)
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("user_id"), col("ts").as("valid_from"),
+            coalesce(nxt, lit("9999-12-31 00:00:00").cast("timestamp"))
+              .as("valid_to"),
+            col("value"), nxt.isNull.as("is_current"), col("event_id"))
+          .orderBy("user_id", "valid_from", "event_id")
+          .drop("event_id")
+    },
+
     // Interval-overlap join (range × range): sessions concurrent with
     // error-containing sessions. Catalyst alone would nested-loop the
     // full session-pair space; Relational.intervalJoin bands intervals
