@@ -170,6 +170,48 @@ object StatsQueries {
         .orderBy("event_id")
     },
 
+    // Robust outliers via median absolute deviation — immune to the
+    // outliers a mean/σ sweep absorbs (complement of
+    // q_events_anomaly). Two aggregate passes (median of cents, then
+    // median absolute deviation in exact integers), each broadcast
+    // back; threshold |x − med| > 8·mad stays all-integer so the
+    // oracle hashes exactly.
+    sql("q_anomaly_mad")(
+      """WITH q AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events
+        |  WHERE value IS NOT NULL),
+        |m AS (SELECT event_type,
+        |    CAST(quantile_disc(x, 0.5) AS BIGINT) AS med
+        |  FROM q GROUP BY event_type),
+        |d AS (SELECT q.event_id, q.event_type, q.x, m.med,
+        |        abs(q.x - m.med) AS dev
+        |      FROM q JOIN m ON q.event_type = m.event_type),
+        |a AS (SELECT event_type,
+        |    CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, d.x AS value_cents,
+        |       d.dev, a.mad
+        |FROM d JOIN a ON d.event_type = a.event_type
+        |WHERE d.dev > 8 * a.mad
+        |ORDER BY d.event_id""".stripMargin) { (s, dir) =>
+      val q = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("bigint").as("x"))
+      val m = q.groupBy("event_type").agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)")
+          .cast("bigint").as("med"))
+      val d = q.join(broadcast(m), "event_type")
+        .withColumn("dev", abs(col("x") - col("med")))
+      val a = d.groupBy("event_type").agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+          .cast("bigint").as("mad"))
+      d.join(broadcast(a), "event_type")
+        .filter(col("dev") > col("mad") * 8)
+        .select(col("event_id"), col("event_type"),
+          col("x").as("value_cents"), col("dev"), col("mad"))
+        .orderBy("event_id")
+    },
+
     // Quantile binning (feature engineering): assign each event its
     // corpus value-quartile. The SCALABLE shape: exact discrete
     // quartile thresholds from one aggregate, broadcast back, CASE
