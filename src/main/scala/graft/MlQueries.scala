@@ -69,6 +69,37 @@ object MlQueries {
       xx.unionByName(bx).orderBy("action", "part", "i", "j")
     },
 
+    // -- per-label embedding centroids: vector mean via posexplode +
+    // one (label, dim) aggregate — the columnar way to average vectors
+    // (map-side combinable; a collect-and-average would ship every
+    // vector to one place). Quantized sums keep the oracle exact; the
+    // mean is one final IEEE division ------------------------------------
+    QuerySpec.sql("q_embed_centroids")(
+      """WITH e AS (SELECT label, u.i AS dim,
+        |    CAST(floor(CAST(embedding[u.i + 1] AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(0, len(embedding))) AS u(i)),
+        |g AS (SELECT label, CAST(dim AS BIGINT) AS dim,
+        |        CAST(sum(q) AS BIGINT) AS sum_q,
+        |        count(*) AS n
+        |      FROM e GROUP BY 1, 2)
+        |SELECT label, dim, sum_q, n,
+        |  CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q
+        |FROM g ORDER BY label, dim""".stripMargin) { (s, dir) =>
+      Q.t(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("label"), col("dim").cast(LongType).as("dim"),
+          floor(col("v").cast(DoubleType) * 1e6).cast(LongType).as("q"))
+        .groupBy("label", "dim")
+        .agg(sum("q").cast(LongType).as("sum_q"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("dim"), col("sum_q"), col("n"),
+          (col("sum_q").cast(DoubleType) / col("n").cast(DoubleType))
+            .as("mean_q"))
+        .orderBy("label", "dim")
+    },
+
     // -- full bandit loop: ALS env → simulate → train → score (A12/A17/
     // A19; rows-only — iterative MLlib pipeline) ------------------------
     QuerySpec.rowsOnly("q_bandit_loop") { (s, dir) =>
