@@ -423,6 +423,34 @@ object RelationalQueries {
           .as("approx_parts"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    },
+
+    // The SQL-text entry point (the reference's analytical surface IS
+    // SQL — ingester_component.py:32-37): ONE ANSI string, run verbatim
+    // by spark.sql over registered views AND by the DuckDB oracle.
+    // TPC-H Q3 shape: segment filter → 3-way join → grouped revenue.
+    // Catalyst plans it identically to the DataFrame form (broadcast
+    // dims, partial aggregation, pushed predicates).
+    sql("q_sql_text")(RelationalQueries.SqlTextQuery) { (s, dir) =>
+      Seq("customer", "orders", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(RelationalQueries.SqlTextQuery)
     }
   )
+
+  /** One dialect-neutral ANSI string, executed verbatim by BOTH
+    * engines (Spark catalyst + DuckDB oracle).
+    */
+  val SqlTextQuery: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin
 }
