@@ -247,6 +247,60 @@ object TextQueries {
           .orderBy("doc_id")
     },
 
+    // -- dedup survivorship: the curation DECISION — per near-dup
+    // cluster keep the highest-quality member (token count, doc_id
+    // tiebreak), report what got dropped. Composes the clustering with
+    // quality scoring; one extra window over the component key ----------
+    QuerySpec.sql("q_dedup_survivors")(
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') t
+        |  FROM documents),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t)-2, 0)+1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) sh FROM toks),
+        |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b FROM sets a, sets b
+        |      WHERE a.doc_id < b.doc_id AND len(a.sh) > 0
+        |        AND len(b.sh) > 0
+        |        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+        |e AS (SELECT doc_a s, doc_b d FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT doc_id AS node, doc_id AS root FROM documents
+        |  UNION
+        |  SELECT e.d, r.root FROM reach r JOIN e ON e.s = r.node),
+        |cc AS (SELECT node AS doc_id, min(root) AS component
+        |       FROM reach GROUP BY node),
+        |q AS (SELECT cc.doc_id, cc.component,
+        |        CAST(len(string_split(d.text,' ')) AS BIGINT) n_tokens
+        |      FROM cc JOIN documents d ON cc.doc_id = d.doc_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY component
+        |        ORDER BY n_tokens DESC, doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY component) AS n_members
+        |      FROM q)
+        |SELECT component, doc_id AS survivor_id, n_tokens,
+        |       CAST(n_members AS BIGINT) AS n_members
+        |FROM r WHERE rk = 1 ORDER BY component""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val docs = Q.t(s, dir, "documents")
+        val cc = text.Cluster.dedupClusters(docs, "text", "doc_id",
+            n = 3, minJaccard = 0.2)
+          .select(col("doc_id"), col("component"))
+        val q = cc.join(docs.select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast(LongType)
+              .as("n_tokens")), "doc_id")
+        val w = Window.partitionBy("component")
+          .orderBy(col("n_tokens").desc, col("doc_id"))
+        q.withColumn("rk", row_number().over(w))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy("component")))
+          .filter(col("rk") === 1)
+          .select(col("component"), col("doc_id").as("survivor_id"),
+            col("n_tokens"), col("n_members").cast(LongType)
+              .as("n_members"))
+          .orderBy("component")
+    },
+
     // -- TF-IDF top terms per doc (log-free idf = N/df keeps both
     // engines' floats identical: integer ratio + IEEE multiply) ---------
     QuerySpec.sql("q_tfidf_top")(
