@@ -4,10 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    // The documented recommended config (Sessions.tuned): AQE +
+    // coalesce/skew handling, 64 MB broadcast threshold, zstd — bench
+    // what we tell users to deploy.
+    val spark = Sessions.tuned(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.ui.enabled", "false"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm every query once (codegen, shuffle machinery, parquet

@@ -6,10 +6,9 @@ import org.apache.spark.sql.SparkSession
 object Debug {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = Sessions.tuned(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.ui.enabled", "false"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
