@@ -121,6 +121,29 @@ object GraftProps extends Properties("graft") {
         }
     }
 
+  property("intervalJoin equals the quadratic overlap join") =
+    Prop.forAll(
+      Gen.listOfN(15, Gen.zip(Gen.chooseNum(0L, 7200L),
+        Gen.chooseNum(0L, 1800L))),
+      Gen.listOfN(15, Gen.zip(Gen.chooseNum(0L, 7200L),
+        Gen.chooseNum(0L, 1800L)))) { (as, bs) =>
+      def mk(rows: List[(Long, Long)], id: String, s: String,
+             e: String) =
+        rows.zipWithIndex.map { case ((st, len), i) =>
+          (i.toLong, new java.sql.Timestamp(1700000000000L + st * 1000),
+            new java.sql.Timestamp(1700000000000L + (st + len) * 1000))
+        }.toDF(id, s, e)
+      val a = mk(as, "aid", "st_a", "en_a")
+      val b = mk(bs, "bid", "st_b", "en_b")
+      val banded = graft.ops.Relational.intervalJoin(a, b,
+          "st_a", "en_a", "st_b", "en_b", bucketSeconds = 600L)
+        .select("aid", "bid").as[(Long, Long)].collect().toSet
+      val quadratic = a.crossJoin(b)
+        .filter($"st_a" <= $"en_b" && $"st_b" <= $"en_a")
+        .select("aid", "bid").as[(Long, Long)].collect().toSet
+      banded == quadratic
+    }
+
   property("quantized cosine is in [-1, 1] and symmetric") =
     Prop.forAll(Gen.listOfN(6,
       Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0)))) { vecs =>
