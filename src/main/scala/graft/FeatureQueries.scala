@@ -61,6 +61,41 @@ object FeatureQueries {
         .orderBy("user_id", "session_idx")
     },
 
+    // Native session_window in BATCH: the same gap semantics as
+    // q_sessionize but through Spark's dedicated SessionWindow
+    // aggregation (merge-on-gap inside the agg operator, one shuffle on
+    // the user key) — the operator the streaming session agg shares.
+    // Native window end = last event + gap; the oracle mirrors that.
+    sql("q_session_native")(
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |              > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_idx
+        |  FROM s)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       count(*) AS n_events
+        |FROM s2 GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     // SCD2 / temporal-table view: each observation becomes a
     // [valid_from, valid_to) version row via lead() — the history-table
     // build behind point-in-time semantics (the intervalized form the
