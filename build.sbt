@@ -29,6 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] runs driver+executors in ONE JVM; the query library
   // persists its reused intermediates (shingle/signature/edge tables),
   // so the heap must hold storage for the whole suite — 8g forced
-  // cache eviction + GC churn across ~100 queries on the 128 GiB box.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // cache eviction + GC churn across ~100 queries on the 128 GiB box,
+  // while very large heaps make the occasional full GC last many
+  // seconds (cache() spills to disk past the storage fraction anyway).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

@@ -19,6 +19,10 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
+    // Compact the heap after the warm pass builds every cache — a full
+    // GC landing inside a timed window otherwise charges multi-second
+    // pauses to whichever query was running.
+    System.gc()
     // Best-of-2 timed passes: single measurements on a shared VM showed
     // ±20% noise (GC, neighbor steal); min-of-two reports steady-state
     // throughput rather than whichever pass caught a hiccup.
