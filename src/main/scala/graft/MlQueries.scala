@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ml.{LinUcb, RankKFactorizer, Simulation}
+import graft.ml.{KMeans, LinUcb, LogReg, RankKFactorizer, Simulation}
 import graft.text.Similarity
 
 /** ML-adjacent operators (SURVEY.md §7 step 8): the LinUCB sufficient-
@@ -98,6 +98,57 @@ object MlQueries {
           (col("sum_q").cast(DoubleType) / col("n").cast(DoubleType))
             .as("mean_q"))
         .orderBy("label", "dim")
+    },
+
+    // -- one deterministic k-means Lloyd step (semantic clustering for
+    // corpus dedup/sampling): exact quantized-integer distances, exact
+    // integer dim-sums, one IEEE division per mean — oracle-checked ----
+    QuerySpec.sql("q_kmeans_step")(
+      """WITH v AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv,
+        |    x -> x*x)) AS BIGINT) AS n2 FROM v),
+        |c AS (SELECT vec_id AS cid, qv AS cv, n2 AS c2 FROM n
+        |      WHERE vec_id < 8),
+        |d AS (SELECT n.vec_id, c.cid, n.n2 + c.c2 -
+        |        2*CAST(list_sum(list_transform(range(1, 65),
+        |          i -> n.qv[i]*c.cv[i])) AS BIGINT) AS dist2
+        |      FROM n, c),
+        |a AS (SELECT vec_id, cid FROM (
+        |        SELECT vec_id, cid, row_number() OVER (
+        |          PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d)
+        |      WHERE rn = 1)
+        |SELECT a.cid AS cluster_id, r.range AS dim,
+        |       count(*) AS n,
+        |       CAST(CAST(sum(v.qv[r.range]) AS BIGINT) AS DOUBLE) /
+        |         CAST(count(*) AS DOUBLE) AS mean_q
+        |FROM a JOIN v USING (vec_id), range(1, 65) r
+        |GROUP BY 1, 2 ORDER BY cluster_id, dim""".stripMargin) { (s, dir) =>
+      KMeans.step(Q.t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .orderBy("cluster_id", "dim")
+    },
+
+    // -- quality-classifier gradient (logistic regression, first batch
+    // step from w=0 → sigmoid(0)=½ exact → pure integer sums) ----------
+    QuerySpec.sql("q_logreg_step")(
+      """WITH v AS (SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (SELECT count(*) AS n FROM v),
+        |g AS (SELECT r.range AS dim,
+        |        CAST(sum(qv[r.range]*(1 - 2*y)) AS BIGINT) AS grad_sum
+        |      FROM v, range(1, 65) r GROUP BY 1)
+        |SELECT dim, grad_sum,
+        |       CAST(-0.1 AS DOUBLE) * (CAST(grad_sum AS DOUBLE) /
+        |         CAST(2*1000000*n.n AS DOUBLE)) AS w1
+        |FROM g, n ORDER BY dim""".stripMargin) { (s, dir) =>
+      LogReg.gradStep(
+        Q.t(s, dir, "embeddings")
+          .withColumn("quality", when(col("label") < 5, 1L).otherwise(0L)),
+        "embedding", "quality", lr = 0.1)
+        .orderBy("dim")
     },
 
     // -- full bandit loop: ALS env → simulate → train → score (A12/A17/

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.text.{Dedup, Similarity, TextOps}
+import graft.text.{Dedup, Rank, Similarity, TextOps}
 
 /** Text/LLM-data operators (dedup, tokens, quality, language-ID,
   * fingerprint, similarity search) — build-plan step 7 (SURVEY.md §7),
@@ -857,6 +857,34 @@ object TextQueries {
           size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
             .cast(LongType).as("n_redacted"))
         .orderBy("event_id")
+    },
+
+    // -- BM25 salient terms per doc (rational Robertson idf — no ln, so
+    // every op is IEEE +,−,×,÷ and the oracle hash-matches; see Rank) --
+    QuerySpec.sql("q_rank_bm25")(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) dl FROM tf
+        |       GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) nd,
+        |         CAST(CAST(sum(CAST(dl AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) avgdl FROM dl),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        ((st.nd - CAST(df.df AS DOUBLE) + 0.5) /
+        |          (CAST(df.df AS DOUBLE) + 0.5)) *
+        |        (CAST(tf.tf AS DOUBLE) * (1.2e0 + 1e0)) /
+        |        (CAST(tf.tf AS DOUBLE) + 1.2e0 *
+        |          (2.5e-1 + 7.5e-1 * (dl.dl / st.avgdl))) AS score
+        |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        |      CROSS JOIN st)
+        |SELECT doc_id, term, score, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rnk FROM s)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+      Rank.bm25TopK(Q.t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rnk")
     }
   )
 }
