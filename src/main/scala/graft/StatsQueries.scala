@@ -288,6 +288,37 @@ object StatsQueries {
           (col("l1_total").cast("double") /
             (col("n_a") * col("n_b")).cast("double")).as("drift"))
         .orderBy("bin")
+    },
+
+    // -- quantized PageRank, 2 rounds over the bipartite trade graph
+    // (the link-authority quality signal for corpus curation; exact
+    // integer flows — see graft.ops.Graph) ------------------------------
+    sql("q_pagerank")(
+      """WITH e0 AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |e AS (SELECT c AS src, 1000000 + s AS dst FROM e0
+        |      UNION ALL SELECT 1000000 + s AS src, c AS dst FROM e0),
+        |nodes AS (SELECT DISTINCT src AS id FROM e),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |i1 AS (SELECT e.dst AS id,
+        |         CAST(sum(1000000000 // deg.d) AS BIGINT) AS inflow
+        |       FROM e JOIN deg USING (src) GROUP BY 1),
+        |r1 AS (SELECT n.id, CAST(floor(1.5e-1 * 1e9 + 8.5e-1 *
+        |         CAST(COALESCE(i1.inflow, 0) AS DOUBLE)) AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN i1 USING (id)),
+        |i2 AS (SELECT e.dst AS id,
+        |         CAST(sum(r1.r // deg.d) AS BIGINT) AS inflow
+        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.id = e.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT n.id, CAST(floor(1.5e-1 * 1e9 + 8.5e-1 *
+        |         CAST(COALESCE(i2.inflow, 0) AS DOUBLE)) AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN i2 USING (id))
+        |SELECT id AS node_id, r AS rank_q FROM r2
+        |ORDER BY node_id""".stripMargin) { (s, dir) =>
+      graft.ops.Graph.pageRankQuant(
+        graft.ops.Graph.tradeGraph(t(s, dir, "orders"),
+          t(s, dir, "lineitem")), iters = 2)
+        .orderBy("node_id")
     }
   )
 }

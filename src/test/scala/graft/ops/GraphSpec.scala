@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRankQuant matches hand-computed quantized ranks on a triangle") {
+    // 1→2, 2→3, 3→1: every node has outdeg 1, so ranks stay uniform:
+    // r1 = floor(0.15e9 + 0.85 * 1e9) = 1e9 at every iteration.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRankQuant(edges, iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1000000000L, 2L -> 1000000000L,
+      3L -> 1000000000L))
+  }
+
+  test("pageRankQuant concentrates rank on a sink-heavy hub") {
+    // star: 1..4 all point to 5; 5 points back to 1 only.
+    val edges = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L), (5L, 1L))
+      .toDF("src", "dst")
+    val r = Graph.pageRankQuant(edges, iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // hand-unroll both iterations with the implementation's exact
+    // IEEE expression (0.15*1e9 + 0.85*inflow, floored):
+    def upd(inflow: Long): Long =
+      math.floor(0.15 * 1.0e9 + 0.85 * inflow.toDouble).toLong
+    // i1: hub 5 collects 4 full ranks; node 1 gets 5's rank; leaves 0.
+    val r1_1 = upd(1000000000L)
+    val r1_leaf = upd(0L)
+    val r1_5 = upd(4L * 1000000000L)
+    // i2: 5 receives r1 of 1..4; 1 receives r1(5); leaves still 0.
+    // Rank oscillates through the hub: after round 2, node 1 (fed by
+    // the hub's round-1 mass) is the maximum.
+    assert(r(1L) === upd(r1_5))
+    assert(r(5L) === upd(r1_1 + 3 * r1_leaf))
+    assert(r(2L) === upd(0L))
+    assert(r(2L) === r(3L))
+    assert(r(1L) > r(5L) && r(5L) > r(2L))
+  }
+}
