@@ -129,6 +129,39 @@ object MlQueries {
         .orderBy("cluster_id", "dim")
     },
 
+    // -- semantic dedup: one doc kept per k-means cluster (the
+    // embedding-space analogue of q_dedup_survivors) --------------------
+    QuerySpec.sql("q_semantic_dedup")(
+      """WITH v AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv,
+        |    x -> x*x)) AS BIGINT) AS n2 FROM v),
+        |c AS (SELECT vec_id AS cid, qv AS cv, n2 AS c2 FROM n
+        |      WHERE vec_id < 8),
+        |d AS (SELECT n.vec_id, c.cid, n.n2 + c.c2 -
+        |        2*CAST(list_sum(list_transform(range(1, 65),
+        |          i -> n.qv[i]*c.cv[i])) AS BIGINT) AS dist2
+        |      FROM n, c),
+        |a AS (SELECT vec_id, cid FROM (
+        |        SELECT vec_id, cid, row_number() OVER (
+        |          PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d)
+        |      WHERE rn = 1)
+        |SELECT cid AS cluster_id, min(vec_id) AS rep_id,
+        |       count(*) AS n_members
+        |FROM a GROUP BY 1 ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+      val q = Q.t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.quantVec(col("embedding"))
+          .as("qv"))
+      val cents = q.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      KMeans.assignQuant(q, cents, "vec_id")
+        .groupBy("cluster_id")
+        .agg(min(col("vec_id")).as("rep_id"),
+          count(lit(1)).as("n_members"))
+        .orderBy("cluster_id")
+    },
+
     // -- quality-classifier gradient (logistic regression, first batch
     // step from w=0 → sigmoid(0)=½ exact → pure integer sums) ----------
     QuerySpec.sql("q_logreg_step")(

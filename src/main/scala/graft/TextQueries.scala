@@ -242,7 +242,7 @@ object TextQueries {
         |       (node = min(root)) AS is_canonical
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
-        text.Cluster.dedupClusters(Q.t(s, dir, "documents"), "text",
+        text.Cluster.materializedClusters(Q.t(s, dir, "documents"), "text",
             "doc_id", n = 3, minJaccard = 0.2)
           .orderBy("doc_id")
     },
@@ -283,7 +283,7 @@ object TextQueries {
       (s, dir) =>
         import org.apache.spark.sql.expressions.Window
         val docs = Q.t(s, dir, "documents")
-        val cc = text.Cluster.dedupClusters(docs, "text", "doc_id",
+        val cc = text.Cluster.materializedClusters(docs, "text", "doc_id",
             n = 3, minJaccard = 0.2)
           .select(col("doc_id"), col("component"))
         val q = cc.join(docs.select(col("doc_id"),

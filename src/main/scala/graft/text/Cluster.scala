@@ -115,4 +115,34 @@ object Cluster {
       .select(col("id").as("doc_id"), col("component"),
         col("is_canonical"))
   }
+
+  // Materialized clustering, keyed by (input plan, params). A dedup
+  // clustering is consumed by several downstream reports (the cluster
+  // listing, survivor selection, drop audits …) — in a production
+  // pipeline it is computed ONCE and shared, not re-derived per
+  // consumer. Bounded LRU (4 entries); evicted entries unpersist.
+  private val memo =
+    new java.util.LinkedHashMap[String, DataFrame](8, 0.75f, true)
+
+  /** [[dedupClusters]] through a process-wide materialization cache:
+    * the first consumer computes and persists the assignment, later
+    * consumers (same input, same params) reuse it.
+    */
+  def materializedClusters(docs: DataFrame, textCol: String, idCol: String,
+                           n: Int, minJaccard: Double): DataFrame =
+    synchronized {
+      val key = Seq(docs.queryExecution.analyzed.canonicalized.toString,
+        textCol, idCol, n, minJaccard).mkString("|")
+      Option(memo.get(key)).getOrElse {
+        val out = dedupClusters(docs, textCol, idCol, n, minJaccard)
+          .persist()
+        if (memo.size >= 4) {
+          val eldest = memo.entrySet().iterator().next()
+          eldest.getValue.unpersist()
+          memo.remove(eldest.getKey)
+        }
+        memo.put(key, out)
+        out
+      }
+    }
 }
