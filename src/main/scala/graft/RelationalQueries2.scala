@@ -430,6 +430,68 @@ object RelationalQueries2 {
         .orderBy("event_id")
     },
 
+    // Nearest as-of join: each click attaches the temporally CLOSEST
+    // purchase in either direction (merge_asof direction='nearest'),
+    // composed from one backward and one forward pass of the same
+    // union+window machinery — still no range-join pair blowup; ties
+    // at whole-second granularity resolve backward.
+    sql("q_join_asof_nearest")(
+      """WITH q AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |     f AS (SELECT user_id, ts AS fts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |     b AS (SELECT q.event_id, f.fts, f.value,
+        |             row_number() OVER (PARTITION BY q.event_id
+        |               ORDER BY f.fts DESC, f.value DESC) AS rn
+        |           FROM q JOIN f ON f.user_id = q.user_id
+        |             AND f.fts <= q.ts),
+        |     bw AS (SELECT event_id, fts, value FROM b WHERE rn = 1),
+        |     fo AS (SELECT q.event_id, f.fts, f.value,
+        |             row_number() OVER (PARTITION BY q.event_id
+        |               ORDER BY f.fts ASC, f.value DESC) AS rn
+        |           FROM q JOIN f ON f.user_id = q.user_id
+        |             AND f.fts >= q.ts),
+        |     fw AS (SELECT event_id, fts, value FROM fo WHERE rn = 1)
+        |SELECT q.event_id, q.user_id, q.ts,
+        |  CASE WHEN bw.fts IS NOT NULL AND (fw.fts IS NULL OR
+        |         floor(epoch(q.ts)) - floor(epoch(bw.fts)) <=
+        |         floor(epoch(fw.fts)) - floor(epoch(q.ts)))
+        |       THEN bw.value ELSE fw.value END AS nearest_value,
+        |  CASE WHEN bw.fts IS NOT NULL AND (fw.fts IS NULL OR
+        |         floor(epoch(q.ts)) - floor(epoch(bw.fts)) <=
+        |         floor(epoch(fw.fts)) - floor(epoch(q.ts)))
+        |       THEN 'backward' ELSE 'forward' END AS side
+        |FROM q LEFT JOIN bw USING (event_id) LEFT JOIN fw USING (event_id)
+        |WHERE bw.fts IS NOT NULL OR fw.fts IS NOT NULL
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("fts"), col("value"))
+      def pass(direction: String) =
+        graft.ops.Relational.asofJoin(clicks, purchases, "user_id", "ts",
+          "fts", Seq("fts", "value"), direction = direction)
+      val bw = pass("backward").select(col("event_id"),
+        col("asof_fts").as("b_fts"), col("asof_value").as("b_v"))
+      val fw = pass("forward").select(col("event_id"),
+        col("asof_fts").as("f_fts"), col("asof_value").as("f_v"))
+      def sec(c: org.apache.spark.sql.Column) =
+        floor(unix_timestamp(c).cast("double"))
+      val takeBw = col("b_fts").isNotNull && (col("f_fts").isNull ||
+        sec(col("ts")) - sec(col("b_fts")) <=
+          sec(col("f_fts")) - sec(col("ts")))
+      clicks.join(bw, Seq("event_id"), "left")
+        .join(fw, Seq("event_id"), "left")
+        .filter(col("b_fts").isNotNull || col("f_fts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(takeBw, col("b_v")).otherwise(col("f_v"))
+            .as("nearest_value"),
+          when(takeBw, lit("backward")).otherwise(lit("forward"))
+            .as("side"))
+        .orderBy("event_id")
+    },
+
     // Weekly cohort retention: users bucketed by first-activity week,
     // counted per subsequent active week. Week arithmetic stays exact:
     // both timestamps are week-truncated, so the epoch difference is an

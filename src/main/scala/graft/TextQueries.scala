@@ -705,6 +705,47 @@ object TextQueries {
         .orderBy("source", "lang")
     },
 
+    // -- temperature-resampled domain mixture (α = 0.5): upweight the
+    // tail domains of a skewed corpus, the standard multilingual /
+    // multi-source rebalancing step. α = ½ keeps the power a single
+    // IEEE sqrt; the sqrt weights are quantized to integers so their
+    // total is an exact sum and every share is one IEEE division ------
+    QuerySpec.sql("q_domain_temperature")(
+      """WITH g AS (SELECT source, count(*) AS n_docs,
+        |        CAST(sum(len(string_split(text,' '))) AS BIGINT)
+        |          AS n_tokens
+        |      FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+        |          AS BIGINT) AS w_q
+        |      FROM g),
+        |t AS (SELECT CAST(sum(w_q) AS BIGINT) AS total_q,
+        |        CAST(sum(n_tokens) AS BIGINT) AS total_tok FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(total_tok AS DOUBLE)
+        |    AS raw_share,
+        |  CAST(w_q AS DOUBLE) / CAST(total_q AS DOUBLE) AS temp_share
+        |FROM w, t ORDER BY source""".stripMargin) { (s, dir) =>
+      val g = Q.t(s, dir, "documents")
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n").cast(LongType).as("n_tokens"))
+      val w = g.withColumn("w_q",
+        floor(sqrt(col("n_tokens").cast(DoubleType)) * lit(1e6))
+          .cast(LongType))
+      val t = w.agg(sum("w_q").cast(LongType).as("total_q"),
+        sum("n_tokens").cast(LongType).as("total_tok"))
+      w.crossJoin(broadcast(t))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("n_tokens").cast(DoubleType) /
+            col("total_tok").cast(DoubleType)).as("raw_share"),
+          (col("w_q").cast(DoubleType) /
+            col("total_q").cast(DoubleType)).as("temp_share"))
+        .orderBy("source")
+    },
+
     // -- skip-gram co-occurrence counts (±2 window, both orientations)
     // — the pair stream feeding embedding training / PMI matrices.
     // Per-row slice/zip emission (no self-join on position), one
