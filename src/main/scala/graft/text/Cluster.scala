@@ -119,30 +119,32 @@ object Cluster {
   // Materialized clustering, keyed by (input plan, params). A dedup
   // clustering is consumed by several downstream reports (the cluster
   // listing, survivor selection, drop audits …) — in a production
-  // pipeline it is computed ONCE and shared, not re-derived per
-  // consumer. Bounded LRU (4 entries); evicted entries unpersist.
-  private val memo =
-    new java.util.LinkedHashMap[String, DataFrame](8, 0.75f, true)
+  // pipeline it is computed ONCE, written out, and shared, not
+  // re-derived per consumer. Parquet (not .persist) is deliberate:
+  // the fixpoint loop's result drags a deep nested-cache lineage that
+  // Spark re-plans on every reuse; writing truncates it to a plain
+  // scan of a tiny table, which is also exactly what a 100 TB pipeline
+  // does with its clustering artifact.
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    String, String]()
 
   /** [[dedupClusters]] through a process-wide materialization cache:
-    * the first consumer computes and persists the assignment, later
-    * consumers (same input, same params) reuse it.
+    * the first consumer computes the assignment and writes it to a
+    * temp parquet; every consumer (same input, same params) reads the
+    * written artifact.
     */
   def materializedClusters(docs: DataFrame, textCol: String, idCol: String,
-                           n: Int, minJaccard: Double): DataFrame =
-    synchronized {
-      val key = Seq(docs.queryExecution.analyzed.canonicalized.toString,
-        textCol, idCol, n, minJaccard).mkString("|")
-      Option(memo.get(key)).getOrElse {
-        val out = dedupClusters(docs, textCol, idCol, n, minJaccard)
-          .persist()
-        if (memo.size >= 4) {
-          val eldest = memo.entrySet().iterator().next()
-          eldest.getValue.unpersist()
-          memo.remove(eldest.getKey)
-        }
-        memo.put(key, out)
-        out
-      }
-    }
+                           n: Int, minJaccard: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val key = Seq(docs.queryExecution.analyzed.canonicalized.toString,
+      textCol, idCol, n, minJaccard).mkString("|")
+    val path = memo.computeIfAbsent(key, { _ =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_clusters").toString
+      dedupClusters(docs, textCol, idCol, n, minJaccard)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+    spark.read.parquet(path)
+  }
 }
