@@ -631,6 +631,23 @@ object RelationalQueries2 {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").cast("bigint").as("total_chars"))
         .orderBy("split", "lang")
+    },
+
+    // Quota sampling: exactly 5 documents per source, picked by a
+    // deterministic md5 shuffle of the id (stable as the corpus grows;
+    // both engines hash identically) — the fixed-budget-per-domain
+    // curation op, complementing q_sample_stratified's rate form.
+    sql("q_sample_pergroup")(
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Relational.sampleNPerGroup(
+          t(s, dir, "documents").select("doc_id", "source", "lang"),
+          "source", "doc_id", n = 5)
+        .orderBy("doc_id")
     }
   )
 }

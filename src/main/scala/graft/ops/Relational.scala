@@ -206,6 +206,22 @@ object Relational {
       .select(df.columns.map(col): _*)
   }
 
+  /** Exactly-n-per-group deterministic sample: rows ordered inside
+    * each group by a content-independent md5 of the id (a stable
+    * pseudo-random shuffle both engines compute identically), top n
+    * kept. The quota form of stratified sampling ("5 docs per domain"),
+    * vs [[sampleStratifiedHash]]'s rate form. One (group)-partitioned
+    * window — shuffle on the group key only; no global sort.
+    */
+  def sampleNPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .select(df.columns.map(col): _*)
+  }
+
   /** Interval-overlap join (range × range) via coarse time banding —
     * the scale path for a join Catalyst can only express as a
     * nested-loop over the full pair space. Each interval explodes into
