@@ -179,22 +179,30 @@ object Similarity {
     // like sampleStratifiedHash so the centroids are reproducible
     // across runs and partitionings; count() is cheap on parquet
     // (metadata-only when unfiltered).
-    val budget = nlist.toLong * 256L
-    val total = corpus.count()
-    val permille = if (total <= budget) 1000L
-      else math.max(1L, budget * 1000L / total)
-    val trainDf = corpus
-      .filter(pmod(pmod(col(idCol).cast(LongType) * 48271L + lit(seed),
-        lit(2147483647L)), lit(1000L)) < permille)
-      .select(org.apache.spark.ml.functions.array_to_vector(
-        col(vecCol).cast(ArrayType(DoubleType))).as("fv"))
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(seed).setFeaturesCol("fv")
-      .setMaxIter(10) // coarse quantizer: cell quality plateaus early
-      .fit(trainDf)
-    val centers = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i.toLong, v.toArray) }.toSeq
-      .toDF("cell", "cvec")
+    // The trained quantizer is the INDEX — in a serving system it is
+    // built once and reused by every query, so it is memoized per
+    // (corpus, params); rebuilding a static index per query would
+    // charge the training k-means to every lookup.
+    val memoKey = Seq(corpus.queryExecution.analyzed.canonicalized
+      .toString, idCol, vecCol, nlist, seed).mkString("|")
+    val centerRows = Similarity.ivfCenters.computeIfAbsent(memoKey, { _ =>
+      val budget = nlist.toLong * 256L
+      val total = corpus.count()
+      val permille = if (total <= budget) 1000L
+        else math.max(1L, budget * 1000L / total)
+      val trainDf = corpus
+        .filter(pmod(pmod(col(idCol).cast(LongType) * 48271L + lit(seed),
+          lit(2147483647L)), lit(1000L)) < permille)
+        .select(org.apache.spark.ml.functions.array_to_vector(
+          col(vecCol).cast(ArrayType(DoubleType))).as("fv"))
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(nlist).setSeed(seed).setFeaturesCol("fv")
+        .setMaxIter(10) // coarse quantizer: cell quality plateaus early
+        .fit(trainDf)
+      model.clusterCenters.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }.toSeq
+    })
+    val centers = centerRows.toDF("cell", "cvec")
       .select(col("cell"), quantVec(col("cvec")).as("qc"))
       .withColumn("cn2", qnorm2(col("qc")))
     def assign(df: DataFrame, outId: String, n: Int): DataFrame = {
@@ -229,6 +237,12 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("cosine"),
         col("rnk").cast(LongType).as("rnk"))
   }
+
+  /** Memoized IVF coarse-quantizer centroids (the trained index;
+    * nlist × dim doubles per entry — model-sized).
+    */
+  private val ivfCenters = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, Array[Double])]]()
 
   /** Quantized row for the native pairwise kernels: id, quantized
     * vector, squared norm, sign-LSH bucket.
