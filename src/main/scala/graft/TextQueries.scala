@@ -541,6 +541,25 @@ object TextQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // -- ANN index quality report: recall@k of the IVF index against
+    // exact brute force, per query + corpus mean (the metric every ANN
+    // deployment tracks; rows-only — the IVF side trains MLlib k-means)
+    QuerySpec.rowsOnly("q_ann_recall") { (s, dir) =>
+      val emb = Q.t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(emb, queries,
+          "vec_id", "embedding", k = 5, dim = 64)
+        .select(col("query_id"), col("nbr_id"))
+      val approx = Similarity.ivfTopK(emb, queries,
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("nbr_id"))
+      exact.join(approx, Seq("query_id", "nbr_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        .select(col("query_id"),
+          (col("n_hit").cast(DoubleType) / lit(5.0)).as("recall_at_5"))
+        .orderBy("query_id")
+    },
+
     // -- per-doc repetition metrics (Gopher-style quality signals):
     // duplicate-bigram ratio + most-frequent-bigram fraction. All
     // integer counts; the two ratios are single IEEE divisions.

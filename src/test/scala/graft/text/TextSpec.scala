@@ -243,4 +243,17 @@ class TextSpec extends SparkSpec {
     assert(!plan.contains("MapPartitions"), plan)
     assert(!plan.contains("DeserializeToObject"), plan)
   }
+
+  test("q_ann_recall: IVF with 4/16 probes keeps mean recall@5 >= 0.5") {
+    val out = graft.Queries.queries("q_ann_recall")(
+        spark, "/root/testdata/sf0.001")
+      .select("recall_at_5").as[Double].collect()
+    assert(out.nonEmpty)
+    val mean = out.sum / out.length
+    // 4-of-16 probes scans ~25% of the corpus; on the synthetic
+    // embeddings the coarse cells keep most true neighbors local. The
+    // floor is deliberately loose — it guards "index returns garbage /
+    // empty", not a tuned recall target.
+    assert(mean >= 0.5, s"mean recall@5 = $mean")
+  }
 }
