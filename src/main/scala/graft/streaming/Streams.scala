@@ -89,6 +89,51 @@ object Streams {
       }
   }
 
+  final case class SessionAcc(startMs: Long, endMs: Long, n: Long)
+  final case class ClosedSession(userId: Long, startMs: Long, endMs: Long,
+                                 n: Long, durationSec: Double)
+
+  /** Streaming sessionization with session EMISSION on close — the
+    * `flatMapGroupsWithState` form: per-key state accumulates the open
+    * session; when the event-time watermark passes last-event + gap,
+    * the timeout fires and the CLOSED session is emitted downstream
+    * (append mode), exactly once per session. This is the pattern for
+    * "emit a record when the session ends", which the window-function
+    * sessionizer (`sessionAgg`) can't express incrementally.
+    *
+    * State per key is three longs — bounded; eviction is driven by the
+    * watermark, so late data beyond it can never reopen a session.
+    */
+  def statefulSessions(events: Dataset[(Long, java.sql.Timestamp)],
+                       gapMs: Long,
+                       watermark: String = "10 seconds")
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.toDF("userId", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, s.startMs, s.endMs, s.n,
+              (s.endMs - s.startMs) / 1000.0))
+          } else {
+            val times = rows.map(_._2.getTime).toArray
+            val prev = state.getOption
+              .getOrElse(SessionAcc(times.min, times.min, 0L))
+            val next = SessionAcc(math.min(prev.startMs, times.min),
+              math.max(prev.endMs, times.max), prev.n + times.length)
+            state.update(next)
+            state.setTimeoutTimestamp(next.endMs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Stream-stream correlation join — the streaming form of the
     * reference's positional zip of observations with predicted actions
     * (A11, logger/main.py:98): two live streams join on a shared id

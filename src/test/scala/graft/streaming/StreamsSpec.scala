@@ -92,6 +92,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statefulSessions emits a closed session once the watermark " +
+    "passes last-event + gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = Streams.statefulSessions(in.toDS(), gapMs = 60000L,
+        watermark = "5 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, new Timestamp(100000L)), (1L, new Timestamp(130000L)),
+        (2L, new Timestamp(110000L)))
+      q.processAllAvailable()
+      // nothing closed yet: watermark is at 130s - 5s = 125s
+      assert(spark.table("sessions").count() == 0)
+      // an event far in the future pushes the watermark past both
+      // sessions' (last event + gap) timeouts
+      in.addData((99L, new Timestamp(1000000L)))
+      q.processAllAvailable()
+      in.addData((99L, new Timestamp(1001000L))) // extra batch: fire timers
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+        .select("userId", "startMs", "endMs", "n", "durationSec")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(out == Set((1L, 100000L, 130000L, 2L, 30.0),
+        (2L, 110000L, 110000L, 1L, 0.0)))
+    } finally q.stop()
+  }
+
   test("appendLoop: at-least-once append-only growth (A3 logger loop)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("loop").toString
