@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.text.{Dedup, Rank, Similarity, TextOps}
+import graft.text.{Dedup, PQ, Rank, Similarity, TextOps}
 
 /** Text/LLM-data operators (dedup, tokens, quality, language-ID,
   * fingerprint, similarity search) — build-plan step 7 (SURVEY.md §7),
@@ -558,6 +558,48 @@ object TextQueries {
         .select(col("query_id"),
           (col("n_hit").cast(DoubleType) / lit(5.0)).as("recall_at_5"))
         .orderBy("query_id")
+    },
+
+    // -- product quantization encode: 64-dim → 8 sub-codes against a
+    // deterministic 16-entry codebook per subspace (exact quantized
+    // distances → full DuckDB oracle; see text/PQ.scala) ---------------
+    QuerySpec.sql("q_pq_encode")(
+      """WITH v AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |sp AS (SELECT vec_id, s.range AS sub_id,
+        |         list_transform(range(1, 9),
+        |           i -> qv[CAST(s.range*8 + i AS BIGINT)]) AS sv
+        |       FROM v, range(0, 8) s),
+        |cb AS (SELECT vec_id AS cid, sub_id, sv AS cv,
+        |         CAST(list_sum(list_transform(sv, x -> x*x)) AS BIGINT)
+        |           AS c2
+        |       FROM sp WHERE vec_id < 16),
+        |d AS (SELECT p.vec_id, p.sub_id, cb.cid,
+        |        CAST(list_sum(list_transform(p.sv, x -> x*x)) AS BIGINT)
+        |          + cb.c2
+        |          - 2*CAST(list_sum(list_transform(range(1, 9),
+        |              i -> p.sv[i]*cb.cv[i])) AS BIGINT) AS dist2
+        |      FROM sp p JOIN cb USING (sub_id)),
+        |a AS (SELECT vec_id, sub_id, cid, dist2, row_number() OVER (
+        |        PARTITION BY vec_id, sub_id ORDER BY dist2, cid) AS rn
+        |      FROM d)
+        |SELECT vec_id AS id, sub_id, cid AS code, dist2 FROM a
+        |WHERE rn = 1 ORDER BY id, sub_id""".stripMargin) { (s, dir) =>
+      PQ.pqEncode(Q.t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 16, m = 8, dim = 64)
+        .orderBy("id", "sub_id")
+    },
+
+    // -- PQ asymmetric-distance top-k over the codes (rows-only: the
+    // composed encode→LUT→scan pipeline; ADCSpec pins semantics) -------
+    QuerySpec.rowsOnly("q_pq_adc") { (s, dir) =>
+      val emb = Q.t(s, dir, "embeddings")
+      val codes = PQ.pqEncode(emb, "vec_id", "embedding",
+        k = 16, m = 8, dim = 64)
+      PQ.adcTopK(codes, emb.filter(col("vec_id") < 20), emb,
+          "vec_id", "embedding", k = 16, m = 8, dim = 64, topN = 5)
+        .orderBy("query_id", "rnk")
     },
 
     // -- per-doc repetition metrics (Gopher-style quality signals):
