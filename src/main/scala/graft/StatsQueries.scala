@@ -319,6 +319,38 @@ object StatsQueries {
         graft.ops.Graph.tradeGraph(t(s, dir, "orders"),
           t(s, dir, "lineitem")), iters = 2)
         .orderBy("node_id")
+    },
+
+    // -- triangle census over the supplier co-supply graph (strong
+    // ties: pairs sharing >= 1.08× the mean customer overlap — a
+    // scale-free threshold): thresholded bipartite projection, then
+    // the oriented wedge-close count — see graft.ops.Graph -------------
+    sql("q_graph_triangles")(
+      """WITH cs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS i
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |p AS (SELECT a.i AS lo, b.i AS hi, count(*) AS sh
+        |      FROM cs a JOIN cs b ON a.c = b.c AND a.i < b.i
+        |      GROUP BY 1, 2),
+        |m AS (SELECT CAST(CAST(sum(sh) AS BIGINT) AS DOUBLE) /
+        |        CAST(count(*) AS DOUBLE) AS mu FROM p),
+        |e AS (SELECT lo, hi FROM p, m
+        |      WHERE CAST(sh AS DOUBLE) >= 1.08e0 * m.mu),
+        |w AS (SELECT e1.hi AS x, e2.hi AS y FROM e e1 JOIN e e2
+        |      ON e1.lo = e2.lo AND e1.hi < e2.hi),
+        |tri AS (SELECT count(*) AS n_triangles FROM w
+        |        WHERE EXISTS (SELECT 1 FROM e
+        |                      WHERE e.lo = w.x AND e.hi = w.y))
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |       (SELECT count(*) FROM w) AS n_wedges,
+        |       tri.n_triangles
+        |FROM tri""".stripMargin) { (s, dir) =>
+      val cs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey"))
+      graft.ops.Graph.triangleStats(
+        graft.ops.Graph.coOccurrenceEdges(cs, "o_custkey", "l_suppkey",
+          meanFactor = 1.08))
     }
   )
 }

@@ -51,6 +51,55 @@ object Graph {
     ranks.select(col("id").as("node_id"), col("r").as("rank_q"))
   }
 
+  /** Thresholded co-occurrence projection of a bipartite (ctx, item)
+    * relation: an undirected (lo, hi) edge between items whose shared-
+    * context count is at least `meanFactor` × the mean shared count.
+    * The relative threshold is scale-free (the same query is sparse at
+    * every SF) and is what keeps the projection scale-safe — the raw
+    * pair space is Σ deg²(ctx) (bounded per context by its item count),
+    * and the filter collapses it to the strong ties before anything
+    * downstream touches it. The mean folds in as a broadcast one-row
+    * aggregate — no driver action.
+    */
+  def coOccurrenceEdges(pairs: DataFrame, ctxCol: String, itemCol: String,
+                        meanFactor: Double): DataFrame = {
+    val p = pairs.select(col(ctxCol).as("c"), col(itemCol).as("i"))
+      .distinct()
+    val shared = p.as("a").join(p.as("b"),
+        col("a.c") === col("b.c") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("lo"), col("b.i").as("hi"))
+      .agg(count(lit(1)).as("shared"))
+      .persist()
+    val mu = shared.agg(
+      (sum(col("shared")).cast(LongType).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("mu"))
+    shared.crossJoin(broadcast(mu))
+      .filter(col("shared").cast(DoubleType) >= lit(meanFactor) * col("mu"))
+      .select(col("lo"), col("hi"))
+  }
+
+  /** Edge/wedge/triangle census over an oriented (lo < hi) edge list —
+    * the classic clustering-structure metric. Wedges join edges on
+    * their shared low node; a wedge (a<b, a<c, b<c) closes iff (b, c)
+    * is an edge, so each triangle counts exactly once. Both joins are
+    * equi-joins on node ids (shuffle-on-key, AQE-managed); orientation
+    * bounds the wedge space by Σ deg²(lo side).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("lo"), col("hi")).persist()
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e1.lo") === col("e2.lo") &&
+        col("e1.hi") < col("e2.hi"))
+      .select(col("e1.hi").as("x"), col("e2.hi").as("y"))
+      .persist()
+    val tri = wedges.join(e,
+        col("x") === col("lo") && col("y") === col("hi"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(tri))
+  }
+
   /** The bipartite customer↔supplier trade graph from orders⋈lineitem,
     * both edge directions (so no dangling nodes). Supplier ids are
     * offset by 1e6 into the shared node-id space.

@@ -38,4 +38,28 @@ class GraphSpec extends SparkSpec {
     assert(r(2L) === r(3L))
     assert(r(1L) > r(5L) && r(5L) > r(2L))
   }
+
+  test("triangleStats counts each triangle once on a hand graph") {
+    // K4 minus edge (3,4): triangles {1,2,3} and {1,2,4} only.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("lo", "hi")
+    val r = Graph.triangleStats(edges).collect().head
+    assert(r.getAs[Long]("n_edges") === 5L)
+    // wedges at low nodes: node1 -> (2,3),(2,4),(3,4); node2 -> (3,4)
+    assert(r.getAs[Long]("n_wedges") === 4L)
+    assert(r.getAs[Long]("n_triangles") === 2L)
+  }
+
+  test("coOccurrenceEdges keeps only pairs above the mean overlap") {
+    // items 1,2 share ctx {10,20,30}; 1,3 and 2,3 share only {10}:
+    // mean shared = (3+1+1)/3 -> only (1,2) is an above-mean edge.
+    val pairs = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L)
+    ).toDF("c", "i")
+    val e = Graph.coOccurrenceEdges(pairs, "c", "i", meanFactor = 1.0)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(e === Set((1L, 2L)))
+  }
 }
