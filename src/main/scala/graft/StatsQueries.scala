@@ -351,6 +351,36 @@ object StatsQueries {
       graft.ops.Graph.triangleStats(
         graft.ops.Graph.coOccurrenceEdges(cs, "o_custkey", "l_suppkey",
           meanFactor = 1.08))
+    },
+
+    // -- degree distribution of the same strong-tie projection ---------
+    sql("q_graph_degree")(
+      """WITH cs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS i
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |p AS (SELECT a.i AS lo, b.i AS hi, count(*) AS sh
+        |      FROM cs a JOIN cs b ON a.c = b.c AND a.i < b.i
+        |      GROUP BY 1, 2),
+        |m AS (SELECT CAST(CAST(sum(sh) AS BIGINT) AS DOUBLE) /
+        |        CAST(count(*) AS DOUBLE) AS mu FROM p),
+        |e AS (SELECT lo, hi FROM p, m
+        |      WHERE CAST(sh AS DOUBLE) >= 1.08e0 * m.mu),
+        |d AS (SELECT node, count(*) AS degree FROM (
+        |        SELECT lo AS node FROM e
+        |        UNION ALL SELECT hi AS node FROM e)
+        |      GROUP BY 1)
+        |SELECT degree, count(*) AS n_nodes FROM d
+        |GROUP BY 1 ORDER BY degree""".stripMargin) { (s, dir) =>
+      val cs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey"))
+      val e = graft.ops.Graph.coOccurrenceEdges(cs, "o_custkey",
+        "l_suppkey", meanFactor = 1.08)
+      e.select(col("lo").as("node"))
+        .unionAll(e.select(col("hi").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
     }
   )
 }

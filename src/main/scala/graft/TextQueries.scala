@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.text.{Dedup, PQ, Rank, Similarity, TextOps}
+import graft.text.{Dedup, PQ, Rank, Similarity, Sketches, TextOps}
 
 /** Text/LLM-data operators (dedup, tokens, quality, language-ID,
   * fingerprint, similarity search) — build-plan step 7 (SURVEY.md §7),
@@ -600,6 +600,23 @@ object TextQueries {
       PQ.adcTopK(codes, emb.filter(col("vec_id") < 20), emb,
           "vec_id", "embedding", k = 16, m = 8, dim = 64, topN = 5)
         .orderBy("query_id", "rnk")
+    },
+
+    // -- count-min sketch heavy hitters: fixed-memory estimates vs the
+    // exact counts for the top-20 terms (rows-only: xxhash64 hashing;
+    // SketchesSpec proves the ε-overcount bound) ------------------------
+    QuerySpec.rowsOnly("q_heavy_hitters") { (s, dir) =>
+      val toks = Q.t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .persist()
+      val sketch = Sketches.cmsBuild(toks, "term", depth = 4, width = 1024)
+      val top = toks.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("term")).limit(20)
+      Sketches.cmsEstimate(sketch, top.select("term"), "term",
+          depth = 4, width = 1024)
+        .join(top, "term")
+        .select(col("term"), col("true_cnt"), col("cms_est"))
+        .orderBy(col("true_cnt").desc, col("term"))
     },
 
     // -- per-doc repetition metrics (Gopher-style quality signals):
