@@ -349,8 +349,9 @@ object StatsQueries {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey"), col("l_suppkey"))
       graft.ops.Graph.triangleStats(
-        graft.ops.Graph.coOccurrenceEdges(cs, "o_custkey", "l_suppkey",
-          meanFactor = 1.08))
+        graft.ops.Materialize.parquet(
+          graft.ops.Graph.coOccurrenceEdges(cs, "o_custkey", "l_suppkey",
+            meanFactor = 1.08), "cosupply"))
     },
 
     // -- degree distribution of the same strong-tie projection ---------
@@ -374,8 +375,9 @@ object StatsQueries {
         .join(t(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey"), col("l_suppkey"))
-      val e = graft.ops.Graph.coOccurrenceEdges(cs, "o_custkey",
-        "l_suppkey", meanFactor = 1.08)
+      val e = graft.ops.Materialize.parquet(
+        graft.ops.Graph.coOccurrenceEdges(cs, "o_custkey",
+          "l_suppkey", meanFactor = 1.08), "cosupply")
       e.select(col("lo").as("node"))
         .unionAll(e.select(col("hi").as("node")))
         .groupBy("node").agg(count(lit(1)).as("degree"))

@@ -84,19 +84,26 @@ object Graph {
     * is an edge, so each triangle counts exactly once. Both joins are
     * equi-joins on node ids (shuffle-on-key, AQE-managed); orientation
     * bounds the wedge space by Σ deg²(lo side).
+    *
+    * The wedge STREAM is never materialized: it flows straight into
+    * the closing semi-join, and the wedge COUNT comes from the degree
+    * table instead (Σ d·(d−1)/2 per low node) — counting by joining
+    * would execute (and at scale, spill) the quadratic stream twice.
     */
   def triangleStats(edges: DataFrame): DataFrame = {
     val e = edges.select(col("lo"), col("hi")).persist()
+    val nWedges = e.groupBy("lo").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
+        .cast(LongType).as("n_wedges"))
     val wedges = e.as("e1")
       .join(e.as("e2"), col("e1.lo") === col("e2.lo") &&
         col("e1.hi") < col("e2.hi"))
       .select(col("e1.hi").as("x"), col("e2.hi").as("y"))
-      .persist()
     val tri = wedges.join(e,
         col("x") === col("lo") && col("y") === col("hi"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     e.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(nWedges))
       .crossJoin(broadcast(tri))
   }
 

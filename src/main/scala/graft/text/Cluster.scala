@@ -124,7 +124,10 @@ object Cluster {
   // the fixpoint loop's result drags a deep nested-cache lineage that
   // Spark re-plans on every reuse; writing truncates it to a plain
   // scan of a tiny table, which is also exactly what a 100 TB pipeline
-  // does with its clustering artifact.
+  // does with its clustering artifact. (The INPUT plan is the key —
+  // the loop runs eager sizing/convergence jobs during construction,
+  // so [[graft.ops.Materialize]]'s output-plan keying would re-run
+  // them per consumer.)
   private val memo = new java.util.concurrent.ConcurrentHashMap[
     String, String]()
 
