@@ -184,6 +184,107 @@ object MlQueries {
         .orderBy("dim")
     },
 
+    // -- classifier evaluation: AUC as the Mann–Whitney rank-sum over
+    // the exact-integer one-step logit (ties broken by vec_id — a
+    // deterministic total order both engines rank identically) ---------
+    QuerySpec.sql("q_classifier_auc")(
+      """WITH v AS (SELECT vec_id,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |g AS (SELECT r.range AS dim,
+        |        CAST(sum(qv[r.range]*(1 - 2*y)) AS BIGINT) AS gsum
+        |      FROM v, range(1, 65) r GROUP BY 1),
+        |s AS (SELECT v.vec_id, v.y,
+        |        CAST(sum(qv[g.dim] * -g.gsum) AS BIGINT) AS score
+        |      FROM v, g GROUP BY 1, 2),
+        |r AS (SELECT y, row_number() OVER (ORDER BY score, vec_id)
+        |        AS rnk FROM s),
+        |agg AS (SELECT CAST(sum(CASE WHEN y = 1 THEN rnk ELSE 0 END)
+        |          AS BIGINT) AS pos_ranksum,
+        |          CAST(sum(y) AS BIGINT) AS n_pos,
+        |          CAST(count(*) - sum(y) AS BIGINT) AS n_neg FROM r)
+        |SELECT n_pos, n_neg,
+        |  (CAST(pos_ranksum AS DOUBLE) -
+        |    CAST(n_pos*(n_pos+1)/2 AS DOUBLE)) /
+        |    CAST(n_pos*n_neg AS DOUBLE) AS auc
+        |FROM agg""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val scored = LogReg.intScore(
+        Q.t(s, dir, "embeddings")
+          .withColumn("quality", when(col("label") < 5, 1L).otherwise(0L)),
+        "vec_id", "embedding", "quality")
+      // Global rank over (score, id): the ranked table is one aggregate
+      // away from a 3-number output, so a single-partition window is
+      // NOT the q_zip_position trap — but Relational.zipIndex gives the
+      // same total order partition-parallel; use it for the rank.
+      val ranked = graft.ops.Relational.zipIndex(
+        scored.select(col("y"), col("score"), col("vec_id")),
+        Seq(col("score"), col("vec_id")), "idx0")
+        .withColumn("rnk", col("idx0") + 1)
+      ranked.agg(
+          sum(when(col("y") === 1, col("rnk")).otherwise(0L))
+            .cast(LongType).as("pos_ranksum"),
+          sum(col("y")).cast(LongType).as("n_pos"),
+          (count(lit(1)) - sum(col("y"))).cast(LongType).as("n_neg"))
+        .select(col("n_pos"), col("n_neg"),
+          ((col("pos_ranksum").cast(DoubleType) -
+            (col("n_pos") * (col("n_pos") + 1) / 2).cast(DoubleType)) /
+            (col("n_pos") * col("n_neg")).cast(DoubleType)).as("auc"))
+    },
+
+    // -- confusion matrix + precision/recall/F1 at threshold 0 over the
+    // same integer logit: counts are exact, ratios single IEEE divs ----
+    QuerySpec.sql("q_confusion")(
+      """WITH v AS (SELECT vec_id,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |g AS (SELECT r.range AS dim,
+        |        CAST(sum(qv[r.range]*(1 - 2*y)) AS BIGINT) AS gsum
+        |      FROM v, range(1, 65) r GROUP BY 1),
+        |s AS (SELECT v.vec_id, v.y,
+        |        CAST(sum(qv[g.dim] * -g.gsum) AS BIGINT) AS score
+        |      FROM v, g GROUP BY 1, 2),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN y=1 AND score>0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN y=0 AND score>0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN y=0 AND score<=0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn,
+        |    CAST(sum(CASE WHEN y=1 AND score<=0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn FROM s)
+        |SELECT tp, fp, tn, fn,
+        |  CAST(tp AS DOUBLE)/CAST(tp+fp AS DOUBLE) AS precision_,
+        |  CAST(tp AS DOUBLE)/CAST(tp+fn AS DOUBLE) AS recall_,
+        |  CAST(2*tp AS DOUBLE)/CAST(2*tp+fp+fn AS DOUBLE) AS f1
+        |FROM c""".stripMargin) { (s, dir) =>
+      val scored = LogReg.intScore(
+        Q.t(s, dir, "embeddings")
+          .withColumn("quality", when(col("label") < 5, 1L).otherwise(0L)),
+        "vec_id", "embedding", "quality")
+      scored.agg(
+          sum(when(col("y") === 1 && col("score") > 0, 1L).otherwise(0L))
+            .cast(LongType).as("tp"),
+          sum(when(col("y") === 0 && col("score") > 0, 1L).otherwise(0L))
+            .cast(LongType).as("fp"),
+          sum(when(col("y") === 0 && col("score") <= 0, 1L).otherwise(0L))
+            .cast(LongType).as("tn"),
+          sum(when(col("y") === 1 && col("score") <= 0, 1L).otherwise(0L))
+            .cast(LongType).as("fn"))
+        .select(col("tp"), col("fp"), col("tn"), col("fn"),
+          (col("tp").cast(DoubleType) /
+            (col("tp") + col("fp")).cast(DoubleType)).as("precision_"),
+          (col("tp").cast(DoubleType) /
+            (col("tp") + col("fn")).cast(DoubleType)).as("recall_"),
+          ((lit(2L) * col("tp")).cast(DoubleType) /
+            (lit(2L) * col("tp") + col("fp") + col("fn"))
+              .cast(DoubleType)).as("f1"))
+    },
+
     // -- full bandit loop: ALS env → simulate → train → score (A12/A17/
     // A19; rows-only — iterative MLlib pipeline) ------------------------
     QuerySpec.rowsOnly("q_bandit_loop") { (s, dir) =>

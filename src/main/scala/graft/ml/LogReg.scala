@@ -45,6 +45,28 @@ object LogReg {
           (lit(2L) * lit(1000000L) * col("n")).cast(DoubleType))).as("w1"))
   }
 
+  /** Integer "one-step logit": score_i = Σ_j qx_ij · w_j with
+    * w_j = −grad_sum_j from [[gradStep]] — the exact-integer direction
+    * the first gradient step moves in (positive ⇒ class 1). Entirely
+    * BIGINT, so rankings/thresholds over it are oracle-exact. The
+    * gradient row table (dim rows) broadcasts; scoring is one
+    * partial-aggregated sum per point.
+    */
+  def intScore(points: DataFrame, idCol: String, vecCol: String,
+               labelCol: String): DataFrame = {
+    val v = points.select(col(idCol), Similarity.quantVec(col(vecCol))
+      .as("qv"), col(labelCol).cast(LongType).as("y"))
+    val g = v.select(posexplode(col("qv")).as(Seq("pos", "x")), col("y"))
+      .groupBy((col("pos") + 1).cast(LongType).as("dim"))
+      .agg(sum(col("x") * (lit(1L) - lit(2L) * col("y"))).as("gsum"))
+    v.select(col(idCol), col("y"),
+        posexplode(col("qv")).as(Seq("pos", "x")))
+      .withColumn("dim", (col("pos") + 1).cast(LongType))
+      .join(broadcast(g), "dim")
+      .groupBy(col(idCol), col("y"))
+      .agg(sum(col("x") * -col("gsum")).as("score"))
+  }
+
   /** Batch gradient descent in doubles: `iters` full-batch steps with a
     * constant rate. Returns the weight vector (0-based index, weight).
     */
