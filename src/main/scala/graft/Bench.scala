@@ -23,9 +23,10 @@ object Bench {
     // GC landing inside a timed window otherwise charges multi-second
     // pauses to whichever query was running.
     System.gc()
-    // Best-of-2 timed passes: single measurements on a shared VM showed
-    // ±20% noise (GC, neighbor steal); min-of-two reports steady-state
-    // throughput rather than whichever pass caught a hiccup.
+    // Median-of-3 timed passes: single measurements on a shared VM
+    // showed ±20-25% noise (GC, neighbor steal); the median discards
+    // both a hiccup pass and a suspiciously-hot one, so consecutive
+    // bench runs land within a few percent of each other.
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -33,23 +34,25 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      val ts = Array(timeOnce(fn), timeOnce(fn), timeOnce(fn)).sorted
+      name -> ts(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver captures only the tail of stdout; with 85 queries the
-    // single JSON line can exceed that window (round-1 BENCH had
-    // parsed:null). Persist the full blob to a file AND emit it as the
-    // final stdout line after stopping Spark, so no later log output
-    // can push it out of the captured tail.
+    // The driver captures only a ~2000-char TAIL of stdout; the full
+    // per-query blob is >4 KB so its leading "total" field falls off
+    // the window (BENCH r01-r03 all parsed:null). Persist the full blob
+    // to a file, print it for humans, then print a SHORT summary line
+    // LAST so the total always lands inside any tail window.
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/bench_out.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
-    println(json)
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -100,12 +100,15 @@ object FeatureQueries {
     // [valid_from, valid_to) version row via lead() — the history-table
     // build behind point-in-time semantics (the intervalized form the
     // bucketed feature-store PIT path joins against). Partitioned
-    // window, one shuffle on the entity key.
+    // window, one shuffle on the entity key. The open-interval sentinel
+    // must stay below the int64-nanosecond horizon (2262-04-11): the
+    // events column is TIMESTAMP(NANOS) parquet and a 9999-12-31
+    // sentinel overflows any ns-canonicalizing reader.
     sql("q_scd2")(
       """SELECT user_id, ts AS valid_from,
         |  coalesce(lead(ts) OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id),
-        |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |    TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
         |  value, (lead(ts) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id) IS NULL) AS is_current
         |FROM events WHERE value IS NOT NULL
@@ -116,7 +119,7 @@ object FeatureQueries {
         val nxt = lead(col("ts"), 1).over(w)
         t(s, dir, "events").filter(col("value").isNotNull)
           .select(col("user_id"), col("ts").as("valid_from"),
-            coalesce(nxt, lit("9999-12-31 00:00:00").cast("timestamp"))
+            coalesce(nxt, lit("2200-01-01 00:00:00").cast("timestamp"))
               .as("valid_to"),
             col("value"), nxt.isNull.as("is_current"), col("event_id"))
           .orderBy("user_id", "valid_from", "event_id")

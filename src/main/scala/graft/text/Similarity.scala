@@ -244,65 +244,36 @@ object Similarity {
   private val ivfCenters = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(Long, Array[Double])]]()
 
-  /** Quantized row for the native pairwise kernels: id, quantized
-    * vector, squared norm, sign-LSH bucket.
-    */
-  final case class QRow(id: Long, qv: Array[Long], n2: Long,
-                        bucket: Long)
-
-  private def quantRows(df: DataFrame, idCol: String, vecCol: String,
-                        bits: Int) = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast(LongType).as("id"),
-        col(vecCol).cast(ArrayType(FloatType)).as("v"))
-      .as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        // identical IEEE ops to the SQL quantizer: float→double, *1e6,
-        // floor — so results hash-match the DuckDB oracle
-        val qv = v.map(f => math.floor(f.toDouble * 1e6).toLong)
-        var n2 = 0L
-        var b = 0L
-        var i = 0
-        while (i < qv.length) {
-          n2 += qv(i) * qv(i)
-          if (i < bits && v(i) > 0f) b |= (1L << i)
-          i += 1
-        }
-        QRow(id, qv, n2, b)
-      }
-  }
-
   /** All embedding pairs with cosine >= minCosine (near-dup detection).
-    * Exact, computed as a distributed block-nested-loop: the quantized
-    * corpus broadcasts once and every partition scores its rows against
-    * it in a tight native loop — declarative join formulations put the
-    * O(n²·dim) cosine into a (never codegen'd) nested-loop join
-    * condition, ~30× slower. This is the documented EXACT BASELINE and
-    * its broadcast side must fit in executor memory; the 100 TB path is
-    * [[bucketedPairs]], a fully distributed bucket self-equi-join with
-    * no driver-side materialization.
+    * Exact, computed as a distributed block-nested-loop JOIN: the
+    * quantized corpus is `broadcast()` as the build side of a
+    * BroadcastNestedLoopJoin — executors stream their partition of the
+    * probe side against the broadcast block, so nothing is ever
+    * materialized on the driver and the probe side stays fully
+    * distributed. The `id_b > id_a` half-space plus the cosine
+    * threshold land in the join condition as a GENERATED predicate over
+    * the native codegen'd [[graft.functions.QDotLong]] kernel (the
+    * historical 30× penalty was the interpreted `aggregate(zip_with)`
+    * HOF in that position — gone with the native expression). This is
+    * the documented EXACT BASELINE and its broadcast side must fit in
+    * executor memory; the 100 TB path is [[bucketedPairs]], a fully
+    * distributed bucket self-equi-join whose volume tracks bucket
+    * sizes, not n².
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   minCosine: Double, dim: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val rows = quantRows(df, idCol, vecCol, bits = 0)
-    val bc = spark.sparkContext.broadcast(rows.collect())
-    rows.mapPartitions { it =>
-      val corpus = bc.value
-      it.flatMap { a =>
-        corpus.iterator
-          .filter(b => b.id > a.id)
-          .flatMap { b =>
-            var dot = 0L
-            var i = 0
-            while (i < dim) { dot += a.qv(i) * b.qv(i); i += 1 }
-            val c = dot.toDouble / math.sqrt(a.n2.toDouble * b.n2.toDouble)
-            if (c >= minCosine) Some((a.id, b.id, c)) else None
-          }
-      }
-    }.toDF("id_a", "id_b", "cosine")
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+        quantVec(col(vecCol)).as("qv"))
+      .withColumn("n2", qnorm2(col("qv")))
+    val lhs = base.select(col("id").as("id_a"), col("qv").as("qa"),
+      col("n2").as("na2"))
+    val rhs = base.select(col("id").as("id_b"), col("qv").as("qb"),
+      col("n2").as("nb2"))
+    lhs.join(broadcast(rhs), col("id_b") > col("id_a"))
+      .withColumn("cosine",
+        qcosine(col("qa"), col("na2"), col("qb"), col("nb2")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** Approximate near-dup pairs via sign-LSH: only pairs colliding in
