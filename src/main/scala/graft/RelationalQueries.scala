@@ -435,6 +435,25 @@ object RelationalQueries {
       Seq("customer", "orders", "lineitem")
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql(RelationalQueries.SqlTextQuery)
+    },
+
+    // Second verbatim-ANSI string — TPC-H Q1 shape (pricing summary):
+    // wide multi-aggregate scan, the classic partial-agg + single
+    // shuffle plan. Averages are spelled decimal-sum / count so both
+    // engines do ONE IEEE division over identical operands.
+    sql("q_sql_text2")(RelationalQueries.SqlTextQuery2) { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(RelationalQueries.SqlTextQuery2)
+    },
+
+    // Third verbatim-ANSI string — TPC-H Q18 shape (large-volume
+    // customer): IN-subquery over a grouped HAVING, then a 3-way join
+    // re-aggregated. Catalyst rewrites the IN to a left-semi hash join;
+    // the subquery aggregate is partial+final on l_orderkey.
+    sql("q_sql_text3")(RelationalQueries.SqlTextQuery3) { (s, dir) =>
+      Seq("customer", "orders", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(RelationalQueries.SqlTextQuery3)
     }
   )
 
@@ -453,4 +472,48 @@ object RelationalQueries {
       |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
       |ORDER BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin
+
+  /** TPC-H Q1 shape, dialect-neutral: decimal-exact sums surfaced as
+    * DOUBLE; avgs as one division over identical operands.
+    */
+  val SqlTextQuery2: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS sum_base_price,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000)
+      |    AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+      |    * (1 + l_tax) * 10000) AS BIGINT)) AS DOUBLE) / 10000
+      |    AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q18 shape, dialect-neutral: IN-subquery with grouped
+    * HAVING, 3-way join, re-aggregation. ORDER BY ends on the unique
+    * o_orderkey so row order is engine-independent.
+    */
+  val SqlTextQuery3: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
 }

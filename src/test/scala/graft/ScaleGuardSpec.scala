@@ -37,6 +37,48 @@ class ScaleGuardSpec extends SparkSpec {
     })
   }
 
+  test("q_embed_pairs builds without driver-side actions and plans the " +
+    "pair space as a broadcast nested-loop join") {
+    val sc = spark.sparkContext
+    // A driver-side collect during query CONSTRUCTION (the round-3
+    // scale-killer: broadcast(rows.collect())) surfaces as an eager
+    // ACTION job before any caller requests execution. Metadata jobs
+    // (parquet footer/schema reads) are legitimate — so tag the build
+    // with a job group and blacklist action-shaped stages inside it.
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (js.properties != null && "embed-pairs-build" ==
+            js.properties.getProperty("spark.jobGroup.id"))
+          js.stageInfos.foreach { si =>
+            if (si.name.matches(
+                "(collect|collectAsList|count|take|head|first) at .*"))
+              actions.add(si.name)
+          }
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      sc.setJobGroup("embed-pairs-build", "scale guard", false)
+      val df = Queries.queries("q_embed_pairs")(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      sc.clearJobGroup()
+      Thread.sleep(2000) // listener bus is async
+      assert(actions.isEmpty,
+        s"query construction ran driver-side actions: $actions")
+      val expanded = plan +: plan.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+      }
+      val bnlj = expanded.flatMap(_.collect {
+        case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+      })
+      assert(bnlj.nonEmpty,
+        s"expected BroadcastNestedLoopJoin in:\n$plan")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("no query plans a global window or an unbroadcast cross join") {
     val bad = Queries.all.flatMap { spec =>
       try {

@@ -136,6 +136,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("appendLoop with Trigger.AvailableNow drains outstanding input " +
+    "and self-terminates (event-driven per-message fire)") {
+    // The reference logger fires once per Pub/Sub message
+    // (notebook.ipynb:831-840): wake, drain everything outstanding,
+    // exit. AvailableNow is that shape — each fire() is one event-driven
+    // invocation; the checkpoint carries offsets BETWEEN invocations so
+    // a fire only processes messages that arrived since the last one.
+    val dir = Files.createTempDirectory("drain").toString
+    val topic = s"$dir/topic"
+    Seq((1L, 1.0), (2L, 2.0)).toDF("user_id", "reward")
+      .write.mode("append").json(topic)
+    def fire(): Unit = {
+      val stream = spark.readStream
+        .schema("user_id LONG, reward DOUBLE").json(topic)
+      val q = Streams.appendLoop(stream, s"$dir/table", s"$dir/ckpt",
+        Trigger.AvailableNow())
+      assert(q.awaitTermination(120000), "drain did not self-terminate")
+    }
+    fire()
+    assert(spark.read.parquet(s"$dir/table").count() == 2)
+    Seq((3L, 3.0)).toDF("user_id", "reward")
+      .write.mode("append").json(topic)
+    fire()
+    assert(spark.read.parquet(s"$dir/table").count() == 3)
+  }
+
   test("idempotentAppendLoop keys output by batch id (replay-safe)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("idem").toString
