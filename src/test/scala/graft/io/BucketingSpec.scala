@@ -35,6 +35,35 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("bucketed PIT path: row-identical to the union+window as-of " +
+    "join, with zero shuffle on the feature side") {
+    val dir = "/root/testdata/sf0.001"
+    val plain = graft.Queries.queries("q_feature_pit")(spark, dir)
+    // Disable broadcast so the plan shows the at-scale (SMJ) shape —
+    // at sf0.001 the tiny feature side would otherwise broadcast and
+    // hide the bucketing. Restore the conf afterwards (shared session).
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val bucketed =
+      try {
+        spark.conf.set(key, "-1")
+        val df = graft.Queries.queries("q_feature_pit_bucketed")(spark, dir)
+        val plan = df.queryExecution.executedPlan.toString
+        // exactly ONE hash Exchange: the click/query side moving to the
+        // feature table's bucket partitioning. The feature-side window
+        // (interval build) and join read the bucketed scan in place.
+        val exchanges = "Exchange hashpartitioning".r
+          .findAllIn(plan).length
+        assert(exchanges == 1,
+          s"expected 1 hash exchange (query side only), got $exchanges:\n" +
+            plan)
+        df.collect()
+      } finally spark.conf.set(key, prev)
+    val plainRows = plain.collect()
+    assert(bucketed.toSeq == plainRows.toSeq,
+      "bucketed PIT path diverged from the union+window path")
+  }
+
   test("saltedJoin is row-identical to the plain join (inner and left)") {
     val dir = "/root/testdata/sf0.001"
     val orders = Tables.table(spark, dir, "orders")
