@@ -37,46 +37,78 @@ class ScaleGuardSpec extends SparkSpec {
     })
   }
 
-  test("q_embed_pairs builds without driver-side actions and plans the " +
-    "pair space as a broadcast nested-loop join") {
+  /** Queries whose CONSTRUCTION legitimately runs bounded driver-side
+    * actions: memoized model/artifact builds (k-means quantizers, PQ
+    * codebooks, dedup clustering, bucketed feature tables, sketch
+    * builds, training loops) whose result is model-sized or written
+    * back to distributed storage — never a corpus-sized collect.
+    * Additions here need the same justification.
+    */
+  private val declaredBuilders: Set[String] = Set(
+    "q_dedup_clusters", "q_dedup_survivors", "q_semantic_dedup",
+    "q_similarity_ivf", "q_ann_recall", "q_bandit_loop",
+    "q_tfrecord_roundtrip", "q_feature_pit_bucketed",
+    "q_media_meta", "q_media_features", "q_media_similarity",
+    "q_frame_sample", "q_quantile_bin", "q_heavy_hitters",
+    "q_pq_encode", "q_pq_adc", "q_kmeans_step", "q_logreg_step",
+    "q_embed_centroids", "q_pipeline_e2e", "q_histogram")
+
+  test("no query construction runs a driver-side action unless it is a " +
+    "declared memoized builder (the round-3 collect scale-killer class)") {
     val sc = spark.sparkContext
-    // A driver-side collect during query CONSTRUCTION (the round-3
-    // scale-killer: broadcast(rows.collect())) surfaces as an eager
-    // ACTION job before any caller requests execution. Metadata jobs
-    // (parquet footer/schema reads) are legitimate — so tag the build
+    // An eager collect/count during query CONSTRUCTION surfaces as an
+    // action job before any caller requests execution. Metadata jobs
+    // (parquet footer/schema reads) are legitimate — tag each build
     // with a job group and blacklist action-shaped stages inside it.
-    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val actions = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.List[String]]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        if (js.properties != null && "embed-pairs-build" ==
-            js.properties.getProperty("spark.jobGroup.id"))
+        val group = if (js.properties == null) null
+          else js.properties.getProperty("spark.jobGroup.id")
+        if (group != null && group.startsWith("guard-build-"))
           js.stageInfos.foreach { si =>
             if (si.name.matches(
                 "(collect|collectAsList|count|take|head|first) at .*"))
-              actions.add(si.name)
+              actions.computeIfAbsent(group.stripPrefix("guard-build-"),
+                _ => new java.util.concurrent.CopyOnWriteArrayList[String]()
+              ).add(si.name)
           }
       }
     }
     sc.addSparkListener(listener)
     try {
-      sc.setJobGroup("embed-pairs-build", "scale guard", false)
-      val df = Queries.queries("q_embed_pairs")(spark, dir)
-      val plan = df.queryExecution.executedPlan
-      sc.clearJobGroup()
-      Thread.sleep(2000) // listener bus is async
-      assert(actions.isEmpty,
-        s"query construction ran driver-side actions: $actions")
-      val expanded = plan +: plan.collect {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
+      Queries.all.foreach { spec =>
+        sc.setJobGroup(s"guard-build-${spec.name}", "scale guard", false)
+        try {
+          spec.fn(spark, dir).queryExecution.executedPlan
+        } catch { case _: Throwable => () } // plan failures: other test
+        finally sc.clearJobGroup()
       }
-      val bnlj = expanded.flatMap(_.collect {
-        case j: org.apache.spark.sql.execution.joins
-          .BroadcastNestedLoopJoinExec => j
-      })
-      assert(bnlj.nonEmpty,
-        s"expected BroadcastNestedLoopJoin in:\n$plan")
+      Thread.sleep(2000) // listener bus is async
+      import scala.jdk.CollectionConverters._
+      val offenders = actions.asScala.view
+        .filterKeys(!declaredBuilders.contains(_)).toMap
+      assert(offenders.isEmpty,
+        "undeclared driver-side actions during query construction:\n" +
+          offenders.map { case (q, st) =>
+            s"  $q: ${st.asScala.mkString(", ")}" }.mkString("\n"))
     } finally sc.removeSparkListener(listener)
+  }
+
+  test("q_embed_pairs plans the exact pair space as a broadcast " +
+    "nested-loop join (not a driver-collected block loop)") {
+    val plan = Queries.queries("q_embed_pairs")(spark, dir)
+      .queryExecution.executedPlan
+    val expanded = plan +: plan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    }
+    val bnlj = expanded.flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => j
+    })
+    assert(bnlj.nonEmpty, s"expected BroadcastNestedLoopJoin in:\n$plan")
   }
 
   test("no query plans a global window or an unbroadcast cross join") {
