@@ -33,13 +33,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val ts = Array(timeOnce(fn), timeOnce(fn), timeOnce(fn)).sorted
-      name -> ts(1)
+    // Fixed (sorted-name) order: identical warm-state interleave every
+    // run, so per-query numbers are comparable round-over-round.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val ts = Array(timeOnce(fn), timeOnce(fn), timeOnce(fn)).sorted
+        name -> ts(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The driver captures only a ~2000-char TAIL of stdout; the full
