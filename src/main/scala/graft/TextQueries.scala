@@ -1004,6 +1004,96 @@ object TextQueries {
         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
       Rank.bm25TopK(Q.t(s, dir, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rnk")
+    },
+
+    // -- cross-document span dedup (Dolma/MassiveText-style): per doc,
+    // the fraction of 5-gram token spans that also occur in ANOTHER
+    // document — the boilerplate/duplication signal used to drop or
+    // trim repeated passages. Distinct from q_text_repetition
+    // (within-doc) and q_contamination (cross-split). Scale shape: the
+    // span inverted index shuffles on the span key (the only shuffle
+    // that grows with corpus size), the duplicated-span list equi-joins
+    // back — never an all-pairs doc comparison. ---------------------
+    QuerySpec.sql("q_span_dedup")(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |           FROM documents),
+        |sp AS (SELECT doc_id, unnest(list_transform(
+        |         range(0, greatest(len(ts) - 4, 0)),
+        |         i -> array_to_string(ts[i+1:i+5], ' '))) AS span
+        |       FROM t),
+        |dup AS (SELECT span FROM sp GROUP BY span
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |pd AS (SELECT s.doc_id, count(*) AS n_spans,
+        |         count(*) FILTER (s.span IN (SELECT span FROM dup))
+        |           AS n_dup_spans
+        |       FROM sp s GROUP BY 1)
+        |SELECT doc_id, n_spans, n_dup_spans,
+        |  CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE)
+        |    AS dup_ratio
+        |FROM pd ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = Q.t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      val spans = toks.select(col("doc_id"),
+        explode(when(size(col("ts")) >= 5,
+            expr("transform(sequence(0, size(ts) - 5), " +
+              "i -> array_join(slice(ts, i + 1, 5), ' '))"))
+          .otherwise(array().cast(ArrayType(StringType)))).as("span"))
+        .persist()
+      val dup = spans.groupBy("span")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("span"), lit(1L).as("__dup"))
+      spans.join(dup, Seq("span"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(coalesce(col("__dup"), lit(0L))).as("n_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          (col("n_dup_spans").cast(DoubleType) /
+            col("n_spans").cast(DoubleType)).as("dup_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // -- vocabulary build + id encoding: rank terms by corpus frequency
+    // (ties on term), assign contiguous ids, re-encode every document
+    // as its id sequence — the tokenizer-vocabulary step of a training
+    // pipeline. The ranking uses the partition-parallel zipIndex (range
+    // repartition + per-partition index), NOT a global row_number
+    // window; the vocab artifact is model-sized and broadcasts to the
+    // encode join. -----------------------------------------------------
+    QuerySpec.sql("q_vocab_encode")(
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM w GROUP BY 1),
+        |v AS (SELECT term, CAST(row_number() OVER
+        |        (ORDER BY cnt DESC, term) AS BIGINT) AS id FROM c),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |      FROM documents),
+        |tok AS (SELECT doc_id, ts,
+        |          unnest(range(1, len(ts) + 1)) AS i FROM t),
+        |enc AS (SELECT tok.doc_id,
+        |          array_agg(v.id ORDER BY tok.i) AS ids
+        |        FROM tok JOIN v
+        |          ON v.term = list_extract(tok.ts, CAST(tok.i AS INT))
+        |        GROUP BY 1)
+        |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+        |  array_to_string(ids[1:16], ',') AS head_ids
+        |FROM enc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = Q.t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+      val cnt = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val vocab = graft.ops.Relational.zipIndex(cnt,
+          Seq(col("cnt").desc, col("term").asc), "id0")
+        .select(col("term"), (col("id0") + 1L).as("id"))
+      toks.join(broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("id")))),
+          e => e.getField("id")).as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).cast(LongType).as("n_tokens"),
+          array_join(slice(col("ids"), 1, 16), ",").as("head_ids"))
+        .orderBy("doc_id")
     }
   )
 }
