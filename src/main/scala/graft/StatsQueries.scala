@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.Q._
-import graft.QuerySpec.sql
+import graft.QuerySpec.{rowsOnly, sql}
 
 /** Statistical aggregates with cross-engine-exact formulations:
   * discrete percentiles pick actual data elements (no interpolation
@@ -34,6 +34,26 @@ object StatsQueries {
             .as("q90"),
           min(col("l_quantity")).as("qmin"),
           max(col("l_quantity")).as("qmax"))
+        .orderBy("l_returnflag")
+    },
+
+    // The sketch twin of q_quantiles: approx_percentile (one-pass
+    // mergeable quantile summary). At 100 TB the exact form's per-group
+    // sort is the bottleneck; the sketch is the standard trade and its
+    // rank error is bounded by 1/accuracy. Sketch internals differ
+    // across engines → rows-only; SketchBoundsSpec pins the rank-error
+    // bound against the exact twin on real data.
+    rowsOnly("q_quantiles_approx") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_quantity"),
+            array(lit(0.25), lit(0.5), lit(0.9)), lit(10000)).as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          element_at(col("qs"), 1).as("q25"),
+          element_at(col("qs"), 2).as("q50"),
+          element_at(col("qs"), 3).as("q90"),
+          col("n"))
         .orderBy("l_returnflag")
     },
 

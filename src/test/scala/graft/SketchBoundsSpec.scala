@@ -30,6 +30,34 @@ class SketchBoundsSpec extends SparkSpec {
     }
   }
 
+  test("q_quantiles_approx: each sketch quantile lands within the " +
+    "declared rank-error bound of the exact order statistics") {
+    val approx = Queries.queries("q_quantiles_approx")(spark, dir)
+      .select("l_returnflag", "q25", "q50", "q90")
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exactVals = Q.t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(approx.keySet == exactVals.keySet)
+    for {
+      (flag, qs) <- approx
+      (p, got) <- Seq(0.25, 0.5, 0.9).zip(qs)
+    } {
+      val sorted = exactVals(flag)
+      val n = sorted.length
+      // accuracy=10000 guarantees rank error <= n/10000 (+1 slack for
+      // the discrete target-rank convention)
+      val eps = n / 10000 + 1
+      val target = math.ceil(p * n).toInt
+      val lo = sorted(math.max(target - 1 - eps, 0))
+      val hi = sorted(math.min(target - 1 + eps, n - 1))
+      assert(got >= lo && got <= hi,
+        s"group $flag p=$p: approx=$got outside [$lo,$hi] (n=$n)")
+    }
+  }
+
   test("q_heavy_hitters: CMS never undercounts and overcount stays " +
     "under the eps*N sketch bound on the registered query's output") {
     val rows = Queries.queries("q_heavy_hitters")(spark, dir)

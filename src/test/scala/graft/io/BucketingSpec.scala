@@ -80,6 +80,31 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("join-strategy control: SHUFFLE_HASH hint plans a " +
+    "ShuffledHashJoin with rows identical to the optimizer's choice") {
+    // At scales where one side fits per-partition memory but exceeds
+    // the broadcast threshold, shuffled-hash beats sort-merge by both
+    // sorts. The hint is the supported control; rows must not change.
+    val dir = "/root/testdata/sf0.001"
+    val orders = Tables.table(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.table(spark, dir, "customer")
+      .select($"c_custkey".as("o_custkey"), $"c_name")
+    val plain = orders.join(cust, Seq("o_custkey"))
+    val hinted = orders.join(cust.hint("shuffle_hash"), Seq("o_custkey"))
+    val plan = hinted.queryExecution.executedPlan
+    val shj = (plan +: plan.collect {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => a.executedPlan
+    }).flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        => j
+    })
+    assert(shj.nonEmpty, s"expected ShuffledHashJoin in:\n$plan")
+    assert(hinted.count() == plain.count() &&
+      hinted.exceptAll(plain).isEmpty && plain.exceptAll(hinted).isEmpty)
+  }
+
   test("A9/A10: from_json/to_json round-trip the trajectory dict shape") {
     val df = Seq((1L, Seq(0.5, 1.5), 3L)).toDF("step", "reward", "action")
     val asJson = df.select($"step",
