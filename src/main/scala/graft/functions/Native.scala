@@ -38,13 +38,28 @@ object Native {
 
   private[functions] val registrations
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("qdot_long"),
-      new ExpressionInfo(classOf[QDotLong].getName, "qdot_long"),
-      { args =>
-        require(args.length == 2, "qdot_long takes exactly 2 arguments")
-        QDotLong(args(0), args(1))
-      }))
+    Seq(
+      (
+        FunctionIdentifier("qdot_long"),
+        new ExpressionInfo(classOf[QDotLong].getName, "qdot_long"),
+        { args =>
+          require(args.length == 2, "qdot_long takes exactly 2 arguments")
+          QDotLong(args(0), args(1))
+        }),
+      (
+        FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+        { args =>
+          require(args.length == 2,
+            "minhash_sig takes (hashes ARRAY<BIGINT>, k INT literal)")
+          val k = args(1) match {
+            case org.apache.spark.sql.catalyst.expressions
+              .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+            case other => throw new IllegalArgumentException(
+              s"minhash_sig k must be an INT literal, got $other")
+          }
+          MinHashSig(args(0), k)
+        }))
 
   /** Register the native functions on a live session (idempotent —
     * re-registration just overwrites with the same builder).

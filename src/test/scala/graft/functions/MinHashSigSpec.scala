@@ -40,4 +40,22 @@ class MinHashSigSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(viaCodegen == viaInterp)
   }
+  test("registers as SQL function minhash_sig via Native.register " +
+    "(k must be an INT literal)") {
+    Native.register(spark)
+    Seq((1L, Seq(7L, -3L, 42L))).toDF("id", "hs")
+      .createOrReplaceTempView("graft_mh_t")
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(hs, 4) AS s FROM graft_mh_t")
+      .as[Seq[Long]].head()
+    val viaCol = Seq((1L, Seq(7L, -3L, 42L))).toDF("id", "hs")
+      .select(Native.minhashSig($"hs", 4).as("s"))
+      .as[Seq[Long]].head()
+    assert(viaSql == viaCol && viaSql.length == 4)
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(hs, id) FROM graft_mh_t").collect()
+    }
+    assert(err.getMessage.contains("INT literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("INT literal")))
+  }
 }
