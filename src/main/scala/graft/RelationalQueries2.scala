@@ -134,19 +134,29 @@ object RelationalQueries2 {
         .orderBy("window_start", "event_type")
     },
 
-    // LATERAL correlated table subquery (per-row derived table).
+    // LATERAL correlated table subquery (per-row derived table). The
+    // join is spelled LEFT ... ON TRUE with a COALESCE because the
+    // engines disagree on the comma-join corner: for a customer with
+    // zero orders the scalar-aggregate lateral still yields one row in
+    // Spark (correct ungrouped-aggregate semantics) but DuckDB's
+    // decorrelation drops it (first diverges at sf0.1, where one such
+    // customer exists). The explicit LEFT form pins identical
+    // keep-all-rows semantics on both.
     sql("q_lateral")(
-      """SELECT c.c_custkey, t.top_price FROM customer c,
-        |LATERAL (SELECT max(o_totalprice) AS top_price FROM orders o
-        |         WHERE o.o_custkey = c.c_custkey) t
+      """SELECT c.c_custkey, COALESCE(t.top_price, 0e0) AS top_price
+        |FROM customer c
+        |LEFT JOIN LATERAL (SELECT max(o_totalprice) AS top_price
+        |         FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey) t ON TRUE
         |ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
       t(s, dir, "customer").createOrReplaceTempView("graft_cust_lat")
       t(s, dir, "orders").createOrReplaceTempView("graft_ord_lat")
       s.sql(
-        """SELECT c.c_custkey, t.top_price FROM graft_cust_lat c,
-          |LATERAL (SELECT max(o_totalprice) AS top_price
+        """SELECT c.c_custkey, COALESCE(t.top_price, 0e0) AS top_price
+          |FROM graft_cust_lat c
+          |LEFT JOIN LATERAL (SELECT max(o_totalprice) AS top_price
           |         FROM graft_ord_lat o
-          |         WHERE o.o_custkey = c.c_custkey) t
+          |         WHERE o.o_custkey = c.c_custkey) t ON TRUE
           |ORDER BY c.c_custkey""".stripMargin)
     },
 
