@@ -57,6 +57,66 @@ object StatsQueries {
         .orderBy("l_returnflag")
     },
 
+    // Pearson correlation + OLS slope/intercept per group from exact
+    // integer moments (x = quantity units, y = price cents): the five
+    // sums are exact BIGINTs (order-free, map-side combinable — ONE
+    // shuffle of 5 longs per group at any scale); the final formulas
+    // run the identical IEEE double expression tree on both engines.
+    // Built-in corr()/covar_samp() use engine-specific streaming update
+    // formulas whose rounding differs — moments sidestep that.
+    sql("q_corr")(
+      """WITH q AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM q GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept
+        |FROM m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val q = t(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_quantity")).cast(LongType).as("x"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("y"))
+      val m = q.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast(LongType).as("sx"),
+        sum(col("y")).cast(LongType).as("sy"),
+        sum(col("x") * col("x")).cast(LongType).as("sxx"),
+        sum(col("y") * col("y")).cast(LongType).as("syy"),
+        sum(col("x") * col("y")).cast(LongType).as("sxy"))
+      val nD = col("n").cast(DoubleType)
+      val sxD = col("sx").cast(DoubleType)
+      val syD = col("sy").cast(DoubleType)
+      val cov = nD * col("sxy").cast(DoubleType) - sxD * syD
+      val vx = nD * col("sxx").cast(DoubleType) - sxD * sxD
+      val vy = nD * col("syy").cast(DoubleType) - syD * syD
+      m.select(col("l_returnflag"), col("n"),
+          (cov / (sqrt(vx) * sqrt(vy))).as("corr_xy"),
+          (cov / vx).as("slope"),
+          (syD / nD - (cov / vx) * (sxD / nD)).as("intercept"))
+        .orderBy("l_returnflag")
+    },
+
     // Sample variance/stddev from exact integer moments: x is cents
     // (BIGINT), Σx and Σx² are exact, and the final
     // (Σx² − (Σx)²/n)/(n−1) runs the same IEEE ops in both engines.
