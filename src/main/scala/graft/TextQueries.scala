@@ -380,6 +380,83 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // -- MinHash-LSH, ORACLE-CHECKED variant: md5 is bit-identical in
+    // both engines and lexicographic min over fixed-width lowercase hex
+    // equals numeric min — so the whole shingle → k-signature → band →
+    // bucket-join → estimate pipeline differentially verifies, unlike
+    // the xxhash64 production variant above (same plan shape; the
+    // production one keeps the cheaper codegen'd hash). k=16 sigs,
+    // 4 bands × 4 rows, est >= 0.5. -------------------------------------
+    QuerySpec.sql("q_dedup_minhash_md5")(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+        |          range(0, greatest(len(toks) - 1, 0)),
+        |          i -> concat(toks[CAST(i+1 AS INT)], ' ',
+        |                      toks[CAST(i+2 AS INT)]))) AS sh
+        |        FROM t),
+        |s AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+        |sig AS (SELECT doc_id, list_transform(range(0, 16), j ->
+        |          list_min(list_transform(sh, x ->
+        |            md5(concat(CAST(j AS VARCHAR), '|', x))))) AS sig
+        |        FROM s),
+        |band AS (SELECT doc_id, sig, unnest(range(0, 4)) AS b FROM sig),
+        |bk AS (SELECT doc_id, b, array_to_string(
+        |         sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], '')
+        |         AS bucket FROM band),
+        |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM bk x JOIN bk y
+        |         ON x.b = y.b AND x.bucket = y.bucket
+        |            AND x.doc_id < y.doc_id
+        |         GROUP BY 1, 2),
+        |est AS (SELECT c.doc_a, c.doc_b,
+        |         CAST(list_sum(list_transform(range(1, 17), i ->
+        |           CASE WHEN a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)]
+        |                THEN 1 ELSE 0 END)) AS BIGINT) AS matches
+        |        FROM cand c
+        |        JOIN sig a ON a.doc_id = c.doc_a
+        |        JOIN sig b ON b.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b,
+        |  CAST(matches AS DOUBLE) / 16 AS est_jaccard
+        |FROM est WHERE matches >= 8
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val k = 16
+      val bands = 4
+      val r = k / bands
+      val sets = Dedup.shingleSets(Q.t(s, dir, "documents"), "text",
+          "doc_id", n = 2)
+        .filter(size(col("sh")) > 0)
+        .persist() // attribute ref: keeps the md5 lambda from re-inlining
+      val sigs = sets.select(col("doc_id"),
+        transform(sequence(lit(0), lit(k - 1)), j =>
+          array_min(transform(col("sh"), x =>
+            md5(concat(j.cast(StringType), lit("|"), x))))).as("sig"))
+        .persist()
+      val banded = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          concat_ws("", slice(col("sig"), b * r + 1, lit(r)))))
+          .as(Seq("b", "bucket")))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.b") === col("y.b") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val sa = sigs.select(col("doc_id").as("doc_a"),
+        col("sig").as("sig_a"))
+      val sb = sigs.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b"))
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("matches",
+          aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, e) => acc + e))
+        .filter(col("matches") >= k / 2)
+        .select(col("doc_a"), col("doc_b"),
+          (col("matches").cast(DoubleType) / k).as("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // -- brute-force cosine top-k (q_similarity_topk) -------------------
     QuerySpec.sql("q_similarity_topk")(
       """WITH v AS (SELECT vec_id, list_transform(embedding,
