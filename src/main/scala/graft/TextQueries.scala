@@ -426,11 +426,24 @@ object TextQueries {
       val sets = Dedup.shingleSets(Q.t(s, dir, "documents"), "text",
           "doc_id", n = 2)
         .filter(size(col("sh")) > 0)
-        .persist() // attribute ref: keeps the md5 lambda from re-inlining
-      val sigs = sets.select(col("doc_id"),
-        transform(sequence(lit(0), lit(k - 1)), j =>
-          array_min(transform(col("sh"), x =>
-            md5(concat(j.cast(StringType), lit("|"), x))))).as("sig"))
+      val docShingle = sets.select(col("doc_id"),
+        explode(col("sh")).as("sh1"))
+      // Hash each DISTINCT shingle once (k md5s per vocabulary entry,
+      // not per doc-shingle occurrence — at 100 TB the shingle
+      // vocabulary is orders of magnitude smaller than the occurrence
+      // stream), then fold per-position minima per doc with a single
+      // shuffle on doc_id. "~" sorts after every hex digit, so it is
+      // the fold identity for lexicographic min.
+      val hashes = docShingle.select(col("sh1")).distinct()
+        .select(col("sh1"),
+          transform(sequence(lit(0), lit(k - 1)), j =>
+            md5(concat(j.cast(StringType), lit("|"), col("sh1"))))
+            .as("hs"))
+      val sigs = docShingle.join(hashes, "sh1")
+        .groupBy("doc_id")
+        .agg(aggregate(collect_list(col("hs")),
+          array_repeat(lit("~"), k),
+          (acc, x) => zip_with(acc, x, (a, b) => least(a, b))).as("sig"))
         .persist()
       val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
