@@ -380,6 +380,85 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // -- SimHash, ORACLE-CHECKED variant (md5-derived 32-bit
+    // fingerprint): per-token votes from md5 nibble bits, majority per
+    // bit, 4 bands x 8 bits (pigeonhole-exact for hamming <= 3), exact
+    // hamming verification. All-integer output — nothing to round.
+    // Spark side keeps the production shape: 32 codegen'd vote sums,
+    // map-side combined, one shuffle on doc_id. -------------------------
+    QuerySpec.sql("q_dedup_simhash_md5")(
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |h AS (SELECT doc_id, md5(tok) AS hx FROM t),
+        |nb AS (SELECT doc_id, list_transform(range(0, 32), b ->
+        |         CASE WHEN floor(CAST(
+        |             strpos('0123456789abcdef',
+        |               substr(hx, CAST(b // 4 AS INT) + 1, 1)) - 1
+        |             AS BIGINT) / CAST(2 ** (b % 4) AS BIGINT)) % 2 = 1
+        |           THEN 1 ELSE -1 END) AS votes
+        |       FROM h),
+        |v AS (SELECT doc_id, unnest(range(0, 32)) AS b, votes FROM nb),
+        |s AS (SELECT doc_id, b,
+        |        sum(CAST(list_extract(votes, CAST(b + 1 AS INT))
+        |          AS BIGINT)) AS vote
+        |      FROM v GROUP BY 1, 2),
+        |fp AS (SELECT doc_id,
+        |         array_agg(CASE WHEN vote > 0 THEN 1 ELSE 0 END
+        |           ORDER BY b) AS fp
+        |       FROM s GROUP BY 1),
+        |band AS (SELECT doc_id, fp, unnest(range(0, 4)) AS bd FROM fp),
+        |bk AS (SELECT doc_id, fp, bd, array_to_string(
+        |         fp[CAST(bd*8+1 AS INT):CAST(bd*8+8 AS INT)], '')
+        |         AS key FROM band),
+        |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |           x.fp AS fa, y.fp AS fb
+        |         FROM bk x JOIN bk y
+        |         ON x.bd = y.bd AND x.key = y.key
+        |            AND x.doc_id < y.doc_id
+        |         GROUP BY 1, 2, 3, 4),
+        |ham AS (SELECT doc_a, doc_b,
+        |         CAST(list_sum(list_transform(range(1, 33), i ->
+        |           CASE WHEN fa[CAST(i AS INT)] <> fb[CAST(i AS INT)]
+        |                THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |        FROM cand)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val toked = Q.t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), md5(col("tok")).as("hx"))
+      // nibble m of the digest, as 0..15 (conv: hex digit -> decimal)
+      def nib(m: Int) =
+        conv(substring(col("hx"), m + 1, 1), 16, 10).cast(IntegerType)
+      val votes = (0 until 32).map { i =>
+        val bit = nib(i / 4).bitwiseAND(lit(1 << (i % 4)))
+        sum(when(bit =!= 0, 1L).otherwise(-1L)).as(s"v$i")
+      }
+      val tallies = toked.groupBy("doc_id")
+        .agg(votes.head, votes.tail: _*)
+      val fps = tallies.select(col("doc_id"),
+        array((0 until 32).map(i =>
+          when(col(s"v$i") > 0, 1).otherwise(0)): _*).as("fp"))
+        .persist()
+      val banded = fps.select(col("doc_id"), col("fp"),
+        posexplode(transform(sequence(lit(0), lit(3)), b =>
+          concat_ws("", slice(col("fp"), b * 8 + 1, lit(8)))))
+          .as(Seq("bd", "key")))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.bd") === col("y.bd") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.fp").as("fa"), col("y.fp").as("fb"))
+        .distinct()
+      cand.withColumn("hamming",
+          aggregate(zip_with(col("fa"), col("fb"),
+            (a, b) => when(a =!= b, 1L).otherwise(0L)),
+            lit(0L), (acc, e) => acc + e))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // -- MinHash-LSH, ORACLE-CHECKED variant: md5 is bit-identical in
     // both engines and lexicographic min over fixed-width lowercase hex
     // equals numeric min — so the whole shingle → k-signature → band →
