@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the LAST stdout line as JSON. Two sbt
+// behaviors break that: (a) sbt prints "[success] Total time: …" AFTER
+// the forked main returns, so the JSON line is never last; (b) forked
+// output is routed through sbt's logger and "[info]"-prefixed. Disable
+// both: no success banner, and forked process output goes straight to
+// this process's stdout unprefixed.
+Global / showSuccess := false
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -300,8 +300,13 @@ object FeatureQueries {
     // row-identical. BucketingSpec pins the shuffle-free plan shape.
     sql("q_feature_pit_bucketed")(PitOracle) { (s, dir) =>
       val tbl = pitBucketed.computeIfAbsent(dir, { _ =>
-        val name = "graft_pit_features_" +
-          java.lang.Integer.toHexString(dir.hashCode)
+        // Full md5 of the dir, not dir.hashCode: a 32-bit hash lets two
+        // distinct testdata dirs collide in one JVM, where the second
+        // build DROPs and overwrites the table the first dir's memo
+        // entry still points at — silently serving wrong-scale rows.
+        val name = "graft_pit_features_" + java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
         // Idempotent across JVMs: a previous run's warehouse dir may
         // survive while the in-memory catalog entry does not —
         // saveAsTable then fails with LOCATION_ALREADY_EXISTS. Clear

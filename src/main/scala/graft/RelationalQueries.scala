@@ -454,6 +454,20 @@ object RelationalQueries {
       Seq("customer", "orders", "lineitem")
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql(RelationalQueries.SqlTextQuery3)
+    },
+
+    // Fourth verbatim-ANSI string — TPC-H Q4/Q21 shape: correlated
+    // EXISTS and NOT EXISTS subqueries through the raw SQL path. The
+    // reference's contract is "any SQL" (ingester_component.py:32-37);
+    // this exercises Catalyst's subquery decorrelation — RewritePredicate
+    // Subquery turns the EXISTS into a left-semi and the NOT EXISTS into
+    // a left-anti hash join on l_orderkey, so the plan is two
+    // shuffle-free-probe joins + one grouped count, never a per-row
+    // subquery execution.
+    sql("q_sql_text4")(RelationalQueries.SqlTextQuery4) { (s, dir) =>
+      Seq("orders", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(RelationalQueries.SqlTextQuery4)
     }
   )
 
@@ -475,6 +489,11 @@ object RelationalQueries {
 
   /** TPC-H Q1 shape, dialect-neutral: decimal-exact sums surfaced as
     * DOUBLE; avgs as one division over identical operands.
+    * disc_price/charge are FLOOR-quantized to 1e-4 on the double (the
+    * floor of an identical IEEE product is bit-equal cross-engine,
+    * unlike a direct double→DECIMAL cast whose tie-rounding differs)
+    * and accumulate in DECIMAL(38,0) — a BIGINT accumulator at
+    * ~3.6e8/row would wrap past ~2.5e10 rows (a few TB).
     */
   val SqlTextQuery2: String =
     """SELECT l_returnflag, l_linestatus,
@@ -483,9 +502,9 @@ object RelationalQueries {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
       |    AS sum_base_price,
       |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000)
-      |    AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
+      |    AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS sum_disc_price,
       |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
-      |    * (1 + l_tax) * 10000) AS BIGINT)) AS DOUBLE) / 10000
+      |    * (1 + l_tax) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000
       |    AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
       |    / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
@@ -516,4 +535,21 @@ object RelationalQueries {
       |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150)
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
+
+  /** TPC-H Q4/Q21 shape, dialect-neutral: correlated EXISTS + NOT
+    * EXISTS, decorrelated by Catalyst into left-semi/left-anti joins.
+    */
+  val SqlTextQuery4: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }

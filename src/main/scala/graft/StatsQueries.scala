@@ -59,21 +59,28 @@ object StatsQueries {
 
     // Pearson correlation + OLS slope/intercept per group from exact
     // integer moments (x = quantity units, y = price cents): the five
-    // sums are exact BIGINTs (order-free, map-side combinable — ONE
-    // shuffle of 5 longs per group at any scale); the final formulas
-    // run the identical IEEE double expression tree on both engines.
+    // sums are order-free and map-side combinable — ONE shuffle of 5
+    // accumulators per group at any scale; the final formulas run the
+    // identical IEEE double expression tree on both engines.
     // Built-in corr()/covar_samp() use engine-specific streaming update
     // formulas whose rounding differs — moments sidestep that.
+    // Moments accumulate in DECIMAL(38,0), not BIGINT: y² ≈ 1.4e13 per
+    // row, so a BIGINT Σy² wraps past ~6.5e5 rows/group — barely above
+    // the sf0.1 verification scale — and Spark (non-ANSI) would wrap
+    // silently while DuckDB promotes to HUGEINT: silent cross-engine
+    // divergence. DECIMAL(38,0) is exact to 1e38 (~7e24 rows/group) on
+    // both engines and still map-side combinable.
     sql("q_corr")(
       """WITH q AS (SELECT l_returnflag,
         |    CAST(round(l_quantity) AS BIGINT) AS x,
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
         |  FROM lineitem),
         |m AS (SELECT l_returnflag, count(*) AS n,
-        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x*x) AS BIGINT) AS sxx,
-        |    CAST(sum(y*y) AS BIGINT) AS syy,
-        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(sum(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy,
+        |    CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy
         |  FROM q GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
@@ -93,17 +100,19 @@ object StatsQueries {
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
         |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept
         |FROM m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.types.{DoubleType, LongType}
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+      val dec19 = DecimalType(19, 0)
+      val dec38 = DecimalType(38, 0)
       val q = t(s, dir, "lineitem").select(col("l_returnflag"),
         round(col("l_quantity")).cast(LongType).as("x"),
         round(col("l_extendedprice") * 100).cast(LongType).as("y"))
       val m = q.groupBy("l_returnflag").agg(
         count(lit(1)).as("n"),
-        sum(col("x")).cast(LongType).as("sx"),
-        sum(col("y")).cast(LongType).as("sy"),
-        sum(col("x") * col("x")).cast(LongType).as("sxx"),
-        sum(col("y") * col("y")).cast(LongType).as("syy"),
-        sum(col("x") * col("y")).cast(LongType).as("sxy"))
+        sum(col("x").cast(dec38)).cast(dec38).as("sx"),
+        sum(col("y").cast(dec38)).cast(dec38).as("sy"),
+        sum(col("x").cast(dec19) * col("x")).cast(dec38).as("sxx"),
+        sum(col("y").cast(dec19) * col("y")).cast(dec38).as("syy"),
+        sum(col("x").cast(dec19) * col("y")).cast(dec38).as("sxy"))
       val nD = col("n").cast(DoubleType)
       val sxD = col("sx").cast(DoubleType)
       val syD = col("sy").cast(DoubleType)
@@ -117,16 +126,17 @@ object StatsQueries {
         .orderBy("l_returnflag")
     },
 
-    // Sample variance/stddev from exact integer moments: x is cents
-    // (BIGINT), Σx and Σx² are exact, and the final
+    // Sample variance/stddev from exact integer moments: x is cents,
+    // Σx and Σx² accumulate in DECIMAL(38,0) (x² ≈ 1.6e13/row wraps a
+    // BIGINT sum past ~5e5 rows/group — see q_corr note), and the final
     // (Σx² − (Σx)²/n)/(n−1) runs the same IEEE ops in both engines.
     sql("q_stats")(
       """WITH q AS (SELECT l_returnflag,
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x
         |  FROM lineitem),
         |m AS (SELECT l_returnflag, count(*) AS n,
-        |    CAST(sum(x) AS BIGINT) AS s1,
-        |    CAST(sum(x*x) AS BIGINT) AS s2
+        |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+        |    CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS s2
         |  FROM q GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |  (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)
@@ -138,8 +148,9 @@ object StatsQueries {
         round(col("l_extendedprice") * 100).cast("bigint").as("x"))
       val m = q.groupBy("l_returnflag").agg(
         count(lit(1)).as("n"),
-        sum(col("x")).cast("bigint").as("s1"),
-        sum(col("x") * col("x")).cast("bigint").as("s2"))
+        sum(col("x").cast("decimal(38,0)")).cast("decimal(38,0)").as("s1"),
+        sum(col("x").cast("decimal(19,0)") * col("x"))
+          .cast("decimal(38,0)").as("s2"))
       val varE = (col("s2").cast("double") -
         col("s1").cast("double") * col("s1").cast("double") /
           col("n").cast("double")) / (col("n") - 1).cast("double")
@@ -210,7 +221,8 @@ object StatsQueries {
 
     // Z-score anomaly detection per event_type — the outlier sweep a
     // training-data pipeline runs before ingesting metrics. Moments on
-    // quantized cents (order-independent BIGINT sums), then one
+    // quantized cents (order-independent DECIMAL(38,0) sums — BIGINT Σx²
+    // wraps at scale, see q_corr note), then one
     // identical IEEE expression tree on both engines for μ, σ, z.
     // Plan: one map-side-combinable aggregate (5 groups) broadcast back
     // onto the stream — no second shuffle at any scale.
@@ -218,8 +230,8 @@ object StatsQueries {
       """WITH q AS (SELECT event_id, event_type,
         |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
         |m AS (SELECT event_type, count(*) AS n,
-        |    CAST(sum(x) AS BIGINT) AS s1,
-        |    CAST(sum(x*x) AS BIGINT) AS s2
+        |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+        |    CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS s2
         |  FROM q GROUP BY event_type)
         |SELECT event_id, q.event_type, x AS value_cents,
         |  (CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)) /
@@ -236,8 +248,9 @@ object StatsQueries {
         round(col("value") * 100).cast("bigint").as("x"))
       val m = q.groupBy("event_type").agg(
         count(lit(1)).as("n"),
-        sum(col("x")).cast("bigint").as("s1"),
-        sum(col("x") * col("x")).cast("bigint").as("s2"))
+        sum(col("x").cast("decimal(38,0)")).cast("decimal(38,0)").as("s1"),
+        sum(col("x").cast("decimal(19,0)") * col("x"))
+          .cast("decimal(38,0)").as("s2"))
       val mu = col("s1").cast("double") / col("n").cast("double")
       val sigma = sqrt((col("s2").cast("double") -
         col("s1").cast("double") * col("s1").cast("double") /

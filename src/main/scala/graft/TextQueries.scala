@@ -700,6 +700,20 @@ object TextQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // -- random-hyperplane sign-LSH ANN top-k: the production variant
+    // of q_similarity_bucketed — dense seeded Gaussian hyperplanes
+    // instead of axis-aligned dimensions, same one-shuffle equi-join
+    // plan. Rows-only: the seeded projection matrix is not
+    // oracle-expressible; RpLshSpec pins recall ≥ the axis-aligned
+    // variant on anisotropic data and TextSpec-style determinism holds
+    // (fixed seed → identical buckets every run) ------------------------
+    QuerySpec.rowsOnly("q_similarity_rp") { (s, dir) =>
+      val emb = Q.t(s, dir, "embeddings")
+      Similarity.rpBucketedTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, bits = 8, dim = 64)
+        .orderBy("query_id", "rnk")
+    },
+
     // -- IVF ANN top-k (rows-only: k-means centroids are not DuckDB-
     // expressible; exactness property covered by TextSpec's
     // nprobe=nlist ≡ brute-force test) ----------------------------------

@@ -74,14 +74,43 @@ object Similarity {
 
   /** Sign-LSH bucket id over the first `bits` dimensions: bit i set iff
     * v[i] > 0. Deterministic, cheap, SQL-expressible — the IVF-style
-    * coarse quantizer for the scale path. (A production variant swaps in
-    * random-projection hyperplanes; axis-aligned keeps the oracle
-    * expressible while exercising the identical plan shape.)
+    * coarse quantizer for the scale path. [[rpBucket]] is the
+    * production random-projection variant (same plan shape);
+    * axis-aligned keeps the oracle expressible.
     */
   def signBucket(v: Column, bits: Int): Column =
     (0 until bits).map(i =>
       when(element_at(v, i + 1) > 0f, lit(1L << i)).otherwise(0L))
       .reduce(_ + _)
+
+  /** Random-hyperplane sign-LSH bucket id — the production variant of
+    * [[signBucket]] (Charikar'02 random projections): bit i is set iff
+    * ⟨v, h_i⟩ > 0 for a dense Gaussian hyperplane h_i drawn once from
+    * `seed`. Axis-aligned buckets collapse when the leading dimensions
+    * carry little signal (anisotropic embeddings — the usual case after
+    * any non-axis-aligned encoder); dense projections weight every
+    * dimension, so bucket boundaries follow the data's dominant
+    * directions regardless of axis order. RpLshSpec demonstrates the
+    * recall gap on exactly such data.
+    *
+    * The hyperplanes are quantized with the shared 1e6 quantizer and
+    * each projection is an exact integer dot product (the codegen'd
+    * QDotLong over a literal plane array) — deterministic across runs,
+    * partitionings and JVMs; plan shape identical to signBucket (a
+    * per-row expression: no shuffle, no UDF, no broadcast needed — the
+    * bits×dim plane matrix is compiled into the expression tree).
+    * Magnitudes: |qv| ≤ 8e6, |hq| ≤ ~5e6, so a 4096-dim dot stays
+    * < 2^57 — no overflow.
+    */
+  def rpBucket(v: Column, bits: Int, dim: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    val qv = quantVec(v)
+    (0 until bits).map { i =>
+      val hq = planes(i).map(x => math.floor(x * 1e6).toLong).toSeq
+      when(qdot(qv, typedLit(hq)) > 0L, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+  }
 
   /** Bucketed ANN top-k: queries probe only their own sign-LSH bucket.
     * One equi-join on the bucket key (shuffle co-partitions both sides),
@@ -98,6 +127,36 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
       quantVec(col(vecCol)).as("qw"),
       signBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("m2", qnorm2(col("qw")))
+    val scored = c.join(q, "bucket")
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cosine",
+        qcosine(col("qv"), col("n2"), col("qw"), col("m2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cosine"),
+        col("rnk").cast(LongType).as("rnk"))
+  }
+
+  /** Bucketed ANN top-k under random-hyperplane buckets — identical
+    * plan to [[bucketedTopK]] (one equi-join on the bucket key, exact
+    * integer rescoring inside the bucket) with [[rpBucket]] as the
+    * coarse quantizer. Rows-only at the oracle (a seeded Gaussian
+    * matrix is not SQL-expressible); RpLshSpec pins its recall above
+    * the axis-aligned variant on anisotropic data.
+    */
+  def rpBucketedTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int, bits: Int,
+                     dim: Int, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      quantVec(col(vecCol)).as("qv"),
+      rpBucket(col(vecCol), bits, dim, seed).as("bucket"))
+      .withColumn("n2", qnorm2(col("qv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      quantVec(col(vecCol)).as("qw"),
+      rpBucket(col(vecCol), bits, dim, seed).as("bucket"))
       .withColumn("m2", qnorm2(col("qw")))
     val scored = c.join(q, "bucket")
       .filter(col("nbr_id") =!= col("query_id"))
@@ -247,10 +306,12 @@ object Similarity {
   /** All embedding pairs with cosine >= minCosine (near-dup detection).
     * Exact, computed as a distributed block-nested-loop JOIN: the
     * quantized corpus is `broadcast()` as the build side of a
-    * BroadcastNestedLoopJoin — executors stream their partition of the
-    * probe side against the broadcast block, so nothing is ever
-    * materialized on the driver and the probe side stays fully
-    * distributed. The `id_b > id_a` half-space plus the cosine
+    * BroadcastNestedLoopJoin. Note the build side IS still collected to
+    * the driver once by BroadcastExchange before re-broadcast (subject
+    * to the broadcast-relation / driver-memory limits); what stays
+    * fully distributed is the PROBE side, which executors stream
+    * against the broadcast block with no driver-side loop over rows.
+    * The `id_b > id_a` half-space plus the cosine
     * threshold land in the join condition as a GENERATED predicate over
     * the native codegen'd [[graft.functions.QDotLong]] kernel (the
     * historical 30× penalty was the interpreted `aggregate(zip_with)`
