@@ -1,0 +1,38 @@
+package graft
+
+/** Evidence that the SQL-text and DataFrame surfaces share ONE
+  * optimizer path (VERDICT r04 #8): the registered DataFrame form of
+  * q_topk_group and its oracle SQL string, run through spark.sql over
+  * the same view, must canonicalize to the SAME optimized logical
+  * plan — not merely equal results. This is the architectural claim
+  * of the engine (declare the plan, let Catalyst pick the physical
+  * strategy) made checkable: if the DataFrame builder ever drifts
+  * into a shape Catalyst can't fold back (an extra exchange, a
+  * non-collapsible projection), this fails.
+  */
+class PlanEqualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_topk_group: SQL text and DataFrame forms optimize to one " +
+    "identical logical plan") {
+    Q.t(spark, dir, "orders").createOrReplaceTempView("orders")
+    val df = Queries.queries("q_topk_group")(spark, dir)
+    val viaSql = spark.sql(Queries.oracleSql("q_topk_group"))
+    val a = df.queryExecution.optimizedPlan.canonicalized
+    val b = viaSql.queryExecution.optimizedPlan.canonicalized
+    assert(a == b,
+      s"optimized plans diverged:\n== DataFrame ==\n$a\n== SQL ==\n$b")
+  }
+
+  test("q_limit_sort: SQL text and DataFrame forms optimize to one " +
+    "identical logical plan") {
+    Q.t(spark, dir, "orders").createOrReplaceTempView("orders")
+    val df = Queries.queries("q_limit_sort")(spark, dir)
+    val viaSql = spark.sql(Queries.oracleSql("q_limit_sort"))
+    val a = df.queryExecution.optimizedPlan.canonicalized
+    val b = viaSql.queryExecution.optimizedPlan.canonicalized
+    assert(a == b,
+      s"optimized plans diverged:\n== DataFrame ==\n$a\n== SQL ==\n$b")
+  }
+}
