@@ -36,6 +36,14 @@ object Sessions {
       // zstd: ~30% smaller than snappy at similar read cost — at 100 TB
       // the scan is IO-bound, so smaller wins.
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // runtime bloom-filter join pruning: when a selective dim-side
+      // filter survives to the join, Spark builds a bloom filter from
+      // the dim keys at runtime and pushes a might-contain predicate
+      // into the fact-side SCAN — at 100 TB this prunes fact row
+      // groups before the shuffle, which a static optimizer cannot do
+      // (it doesn't know the surviving key set). Explicit rather than
+      // default-dependent; RuntimeFilterSpec pins the injection.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       // dynamic partition overwrite is what Streams.upsertLoop relies
       // on to rewrite only touched buckets.
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

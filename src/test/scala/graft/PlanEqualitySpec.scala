@@ -35,4 +35,22 @@ class PlanEqualitySpec extends SparkSpec {
     assert(a == b,
       s"optimized plans diverged:\n== DataFrame ==\n$a\n== SQL ==\n$b")
   }
+
+  test("q_sql_text4: correlated EXISTS / NOT EXISTS decorrelate to " +
+    "left-semi / left-anti joins with no residual subquery") {
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val plan = Queries.queries("q_sql_text4")(spark, dir)
+      .queryExecution.optimizedPlan
+    val joinTypes = plan.collect { case j: Join => j.joinType }
+    assert(joinTypes.contains(LeftSemi) && joinTypes.contains(LeftAnti),
+      s"expected decorrelated semi+anti joins, got $joinTypes")
+    // no correlated subquery survives optimization — the plan is pure
+    // joins + aggregate, never a per-row subquery execution
+    val residual = plan.expressions.flatMap(_.collect {
+      case p: PlanExpression[_] => p
+    })
+    assert(residual.isEmpty, s"residual subqueries: $residual")
+  }
 }
