@@ -468,6 +468,16 @@ object RelationalQueries {
       Seq("orders", "lineitem")
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql(RelationalQueries.SqlTextQuery4)
+    },
+
+    // Fifth verbatim-ANSI string — the windowed-analytic shape, the
+    // last SQL family exercised only via the DataFrame surface until
+    // now: ranking + frame-bounded running sum per partition through
+    // the raw SQL path. One shuffle on the partition key serves both
+    // window functions (same Window spec → one Sort, one Exchange).
+    sql("q_sql_text5")(RelationalQueries.SqlTextQuery5) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(RelationalQueries.SqlTextQuery5)
     }
   )
 
@@ -552,4 +562,24 @@ object RelationalQueries {
       |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Windowed-analytic shape, dialect-neutral: rank + frame-bounded
+    * running DECIMAL sum over one window spec (unique sort key →
+    * deterministic rows; decimal accumulation → exact, surfaced as
+    * DOUBLE after one cast).
+    */
+  val SqlTextQuery5: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rn, run_total
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |      PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS DOUBLE) AS run_total
+      |  FROM orders)
+      |WHERE rn <= 10
+      |ORDER BY o_orderpriority, rn""".stripMargin
 }
