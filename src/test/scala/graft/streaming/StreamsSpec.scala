@@ -235,6 +235,40 @@ class StreamsSpec extends SparkSpec {
       s"append produced $plain rows, expected the at-least-once 4")
   }
 
+  test("upsertLoop is replay-safe: a crash-replay re-merges to the " +
+    "same latest-per-key state, no duplicate keys") {
+    // Same commit-marker injection as the appendLoop proof: the upsert
+    // sink's merge (read touched buckets → latest-per-key → dynamic
+    // partition overwrite) is idempotent, so replaying a batch rewrites
+    // the same bucket contents instead of duplicating keys.
+    val dir = Files.createTempDirectory("upsertreplay").toString
+    Seq((1L, 1.0, "2024-01-01 00:00:00"), (2L, 2.0, "2024-01-01 00:00:00"))
+      .toDF("user_id", "score", "updated_s")
+      .write.mode("append").json(s"$dir/topic")
+    def fire(): Unit = {
+      val stream = spark.readStream
+        .schema("user_id LONG, score DOUBLE, updated_s STRING")
+        .json(s"$dir/topic")
+        .withColumn("updated", col("updated_s").cast("timestamp"))
+        .drop("updated_s")
+      val q = Streams.upsertLoop(stream, s"$dir/table", "user_id",
+        "updated", numBuckets = 4, s"$dir/ckpt", Trigger.AvailableNow())
+      try assert(q.awaitTermination(120000), "drain did not terminate")
+      finally q.stop()
+    }
+    fire()
+    val commitDir = new java.io.File(s"$dir/ckpt/commits")
+    val last = commitDir.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(last.delete())
+    new java.io.File(commitDir, s".${last.getName}.crc").delete()
+    fire() // replay the batch
+    val out = spark.read.parquet(s"$dir/table")
+      .select("user_id", "score").as[(Long, Double)].collect().toSet
+    assert(out == Set((1L, 1.0), (2L, 2.0)),
+      s"replay corrupted the upsert table: $out")
+  }
+
   test("correlate joins two streams on id within the time bound") {
     implicit val sqlCtx = spark.sqlContext
     val obs = MemoryStream[(Long, Timestamp, String)]
