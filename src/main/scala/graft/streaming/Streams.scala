@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StreamingQuery, Trigger}
+  OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues,
+  Trigger, TTLConfig, ValueState}
 
 /** Structured-Streaming surface mirroring the reference's feedback loop
   * (SURVEY.md A20-A22): Pub/Sub topics → streaming sources; the logger
@@ -87,6 +88,46 @@ object Streams {
             next
           }
       }
+  }
+
+  /** The Spark-4 `transformWithState` twin of [[runningUserStats]] —
+    * the modern arbitrary-state API (SPARK-44838): typed named state
+    * variables on a StatefulProcessor instead of one opaque
+    * GroupState, plus timers and per-state TTL. Semantically identical
+    * here (a (count, sum) ValueState per key, state TTL in place of
+    * the processing-time timeout); at 100 TB the operational wins are
+    * per-variable TTL eviction and the RocksDB store the operator
+    * requires (`spark.sql.streaming.stateStore.providerClass` →
+    * RocksDBStateStoreProvider), whose changelog checkpointing keeps
+    * commit cost proportional to the delta, not the state size.
+    */
+  class UserStatsProcessor(ttl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, (Long, Double), UserStats] {
+    @transient private var stats: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stats = getHandle.getValueState(
+        "stats",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[UserStats] = {
+      var (n, sum) = if (stats.exists()) stats.get() else (0L, 0.0)
+      rows.foreach { r => n += 1; sum += r._2 }
+      stats.update((n, sum))
+      Iterator.single(UserStats(key, n, sum))
+    }
+  }
+
+  def runningUserStatsTws(events: Dataset[(Long, Double)],
+                          ttl: Option[java.time.Duration] = None)
+      : Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor(ttl), TimeMode.None(),
+        OutputMode.Update())
   }
 
   final case class SessionAcc(startMs: Long, endMs: Long, n: Long)

@@ -92,6 +92,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningUserStatsTws (transformWithState, RocksDB store) " +
+    "matches the mapGroupsWithState twin across micro-batches") {
+    // The modern stateful API requires the RocksDB state store; scope
+    // it to a cloned session so the suite-wide HDFS-backed default
+    // stays untouched.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    implicit val sqlCtx = s2.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val q = Streams.runningUserStatsTws(in.toDS())
+      .writeStream.format("memory").queryName("ustats_tws")
+      .outputMode("update").start()
+    try {
+      in.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+      q.processAllAvailable()
+      in.addData((1L, 3.0))
+      q.processAllAvailable()
+      val last = s2.table("ustats_tws")
+        .groupBy("userId").agg(max("n").as("n"), max("sum").as("sum"))
+        .as[(Long, Long, Double)](
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaDouble))
+        .collect().toSet
+      assert(last == Set((1L, 3L, 6.0), (2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("statefulSessions emits a closed session once the watermark " +
     "passes last-event + gap") {
     implicit val sqlCtx = spark.sqlContext
