@@ -150,6 +150,29 @@ object FunctionQueries {
         .orderBy("event_id")
     },
 
+    // VariantType twin of q_json_funcs (Spark 4 semi-structured path):
+    // parse_json shreds the JSON ONCE into the binary variant encoding
+    // and every variant_get is an O(path) binary probe — at 100 TB the
+    // string form re-parses the JSON text per extraction, the variant
+    // form amortizes it (and the parquet variant shredding spec pushes
+    // typed subcolumns to the scan). The oracle sees only the extracted
+    // values, which align with DuckDB's JSON functions.
+    sql("q_variant_funcs")(
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) < 50
+        |    AS is_small
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val v = parse_json(col("props"))
+      t(s, dir, "events").select(
+          col("event_id"),
+          variant_get(v, "$.k", "bigint").as("k_val"),
+          variant_get(v, "$.k", "string").as("k_str"),
+          (variant_get(v, "$.k", "bigint") < 50).as("is_small"))
+        .orderBy("event_id")
+    },
+
     // Nested build → flatten round-trip (A7/A10): collect_list per key,
     // sort for stable element order, explode back out.
     sql("q_collect_explode")(

@@ -70,6 +70,14 @@ class RpLshSpec extends SparkSpec {
       f"rp recall $rp%.2f does not dominate axis recall $axis%.2f")
   }
 
+  // NOTE deliberately NOT asserted: "rp recall >= axis-aligned on the
+  // real embeddings table". The synthetic embeddings are isotropic
+  // random vectors, where theory says the two bucketers are equivalent
+  // in expectation — measured recalls there are both at the noise
+  // floor (1-2 hits / 100 at bits=8, single-probe) and an inequality
+  // between them is a coin flip, not a property. The anisotropic
+  // fixture above is the honest discriminator.
+
   test("rpBucket is deterministic: same seed, same buckets, " +
     "run-to-run identical results") {
     def run() = Similarity.rpBucketedTopK(
