@@ -476,6 +476,110 @@ object StatsQueries {
         .groupBy("node").agg(count(lit(1)).as("degree"))
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
         .orderBy("degree")
+    },
+
+    // -- mean imputation (feature prep): fill NULL values with the
+    // per-type mean — one map-side-combinable aggregate (decimal-exact
+    // sum, non-null count) broadcast back onto the stream; the imputed
+    // value is floor(mean cents) so everything stays integer-exact.
+    // Never a window over the full stream. ------------------------------
+    sql("q_impute_mean")(
+      """WITH q AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |m AS (SELECT event_type,
+        |    CAST(floor(CAST(CAST(sum(CAST(x AS DECIMAL(38,0)))
+        |        AS DECIMAL(38,0)) AS DOUBLE) /
+        |      CAST(count(x) AS DOUBLE)) AS BIGINT) AS mean_cents
+        |  FROM q GROUP BY event_type)
+        |SELECT event_id, q.event_type, x AS value_cents,
+        |  COALESCE(x, mean_cents) AS imputed_cents,
+        |  (x IS NULL) AS was_imputed
+        |FROM q JOIN m ON q.event_type = m.event_type
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val q = t(s, dir, "events").select(col("event_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("bigint").as("x"))
+      val m = q.groupBy("event_type").agg(
+        floor(sum(col("x").cast("decimal(38,0)")).cast("decimal(38,0)")
+            .cast("double") / count(col("x")).cast("double"))
+          .cast("bigint").as("mean_cents"))
+      q.join(broadcast(m), "event_type")
+        .select(col("event_id"), col("event_type"),
+          col("x").as("value_cents"),
+          coalesce(col("x"), col("mean_cents")).as("imputed_cents"),
+          col("x").isNull.as("was_imputed"))
+        .orderBy("event_id")
+    },
+
+    // -- winsorization (feature prep): clip each value to its type's
+    // exact [p05, p95] — discrete percentiles on integer cents from one
+    // aggregate (percentile_disc ≡ DuckDB quantile_disc), broadcast
+    // back, clamp in a narrow map. The robust-outlier complement of
+    // dropping rows (q_anomaly_mad drops; winsorizing keeps the row,
+    // bounds the leverage). ---------------------------------------------
+    sql("q_winsorize")(
+      """WITH q AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events
+        |  WHERE value IS NOT NULL),
+        |m AS (SELECT event_type,
+        |    CAST(quantile_disc(x, 0.05) AS BIGINT) AS p05,
+        |    CAST(quantile_disc(x, 0.95) AS BIGINT) AS p95
+        |  FROM q GROUP BY event_type)
+        |SELECT event_id, q.event_type, x AS value_cents,
+        |  CASE WHEN x < p05 THEN p05 WHEN x > p95 THEN p95 ELSE x END
+        |    AS clipped_cents,
+        |  (x < p05 OR x > p95) AS was_clipped
+        |FROM q JOIN m ON q.event_type = m.event_type
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val q = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("bigint").as("x"))
+      val m = q.groupBy("event_type").agg(
+        expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY x)")
+          .cast("bigint").as("p05"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY x)")
+          .cast("bigint").as("p95"))
+      q.join(broadcast(m), "event_type")
+        .select(col("event_id"), col("event_type"),
+          col("x").as("value_cents"),
+          when(col("x") < col("p05"), col("p05"))
+            .when(col("x") > col("p95"), col("p95"))
+            .otherwise(col("x")).as("clipped_cents"),
+          (col("x") < col("p05") || col("x") > col("p95"))
+            .as("was_clipped"))
+        .orderBy("event_id")
+    },
+
+    // -- min-max scaling (feature prep): per-type [0,1] normalization
+    // from exact integer min/max, one IEEE division — the standard
+    // feature-scaling pass before distance-based models. Same broadcast
+    // shape as imputation/winsorization: aggregate → broadcast → map. --
+    sql("q_scale_minmax")(
+      """WITH q AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events
+        |  WHERE value IS NOT NULL),
+        |m AS (SELECT event_type, CAST(min(x) AS BIGINT) AS lo,
+        |    CAST(max(x) AS BIGINT) AS hi
+        |  FROM q GROUP BY event_type)
+        |SELECT event_id, q.event_type, x AS value_cents,
+        |  CASE WHEN hi = lo THEN 0e0
+        |       ELSE CAST(x - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE)
+        |  END AS scaled
+        |FROM q JOIN m ON q.event_type = m.event_type
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val q = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("bigint").as("x"))
+      val m = q.groupBy("event_type").agg(
+        min(col("x")).cast("bigint").as("lo"),
+        max(col("x")).cast("bigint").as("hi"))
+      q.join(broadcast(m), "event_type")
+        .select(col("event_id"), col("event_type"),
+          col("x").as("value_cents"),
+          when(col("hi") === col("lo"), lit(0.0))
+            .otherwise((col("x") - col("lo")).cast("double") /
+              (col("hi") - col("lo")).cast("double")).as("scaled"))
+        .orderBy("event_id")
     }
   )
 }
