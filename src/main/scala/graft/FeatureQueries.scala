@@ -340,6 +340,73 @@ object FeatureQueries {
           col("asof_n_purchases").as("n_purchases"),
           col("asof_total_purchase").as("total_purchase"))
         .orderBy("event_id")
+    },
+
+    // Hashing-trick categorical encoding (feature prep): category →
+    // fixed bucket via md5 (the cross-engine-exact digest, per the
+    // dedup-md5 idiom: Spark conv(hex,16,10) ≡ DuckDB strpos-over-hex).
+    // Purely per-row — no shuffle, no vocabulary state, unseen
+    // categories hash to stable buckets, the property that makes the
+    // trick the default encoder for high-cardinality features at scale.
+    sql("q_feature_hash")(
+      """SELECT doc_id, source || '|' || lang AS cat,
+        |  ((strpos('0123456789abcdef',
+        |      substr(md5(source || '|' || lang), 1, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef',
+        |      substr(md5(source || '|' || lang), 2, 1)) - 1)) % 64
+        |    AS bucket
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val cat = concat(col("source"), lit("|"), col("lang"))
+      def nib(m: Int) =
+        conv(substring(md5(cat), m + 1, 1), 16, 10).cast(LongType)
+      t(s, dir, "documents").select(col("doc_id"), cat.as("cat"),
+          ((nib(0) * 16 + nib(1)) % 64).as("bucket"))
+        .orderBy("doc_id")
+    },
+
+    // Smoothed target (mean) encoding: enc(c) = (Σy_c + m·ȳ) / (n_c + m)
+    // with m = 10 — the high-cardinality-categorical encoder that
+    // shrinks rare categories toward the global mean. Exactness: both
+    // sums are DECIMAL(38,0) cents, the formula is two IEEE divisions
+    // over identical operands. Shape: one grouped aggregate + one 1-row
+    // global aggregate, both broadcast back — no second shuffle.
+    sql("q_target_encode")(
+      """WITH q AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y FROM orders),
+        |g AS (SELECT CAST(sum(CAST(y AS DECIMAL(38,0)))
+        |        AS DECIMAL(38,0)) AS gs,
+        |      CAST(count(*) AS BIGINT) AS gn FROM q),
+        |m AS (SELECT o_orderpriority,
+        |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM q GROUP BY o_orderpriority)
+        |SELECT q.o_orderkey, q.o_orderpriority,
+        |  (CAST(s AS DOUBLE)
+        |     + 10e0 * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)))
+        |    / (CAST(n AS DOUBLE) + 10e0) AS target_enc
+        |FROM q
+        |JOIN m ON q.o_orderpriority = m.o_orderpriority
+        |CROSS JOIN g
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val q = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("bigint").as("y"))
+      val g = q.agg(
+        sum(col("y").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("gs"),
+        count(lit(1)).as("gn"))
+      val m = q.groupBy("o_orderpriority").agg(
+        sum(col("y").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("s"),
+        count(lit(1)).as("n"))
+      q.join(broadcast(m), "o_orderpriority")
+        .crossJoin(broadcast(g))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ((col("s").cast("double")
+              + lit(10.0) * (col("gs").cast("double")
+                / col("gn").cast("double")))
+            / (col("n").cast("double") + lit(10.0))).as("target_enc"))
+        .orderBy("o_orderkey")
     }
   )
 }
