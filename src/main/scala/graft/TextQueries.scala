@@ -380,24 +380,28 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
-    // -- SimHash, ORACLE-CHECKED variant (md5-derived 32-bit
-    // fingerprint): per-token votes from md5 nibble bits, majority per
-    // bit, 4 bands x 8 bits (pigeonhole-exact for hamming <= 3), exact
-    // hamming verification. All-integer output — nothing to round.
-    // Spark side keeps the production shape: 32 codegen'd vote sums,
-    // map-side combined, one shuffle on doc_id. -------------------------
+    // -- SimHash, ORACLE-CHECKED variant (md5-derived 64-bit
+    // fingerprint — 16 hex nibbles): per-token votes from md5 nibble
+    // bits, majority per bit, 4 bands x 16 bits (pigeonhole-exact for
+    // hamming <= 3), exact hamming verification. All-integer output —
+    // nothing to round. Spark side keeps the production shape: 64
+    // codegen'd vote sums, map-side combined, one shuffle on doc_id.
+    // 64 bits (not 32): at sf0.1's 5k docs a 32-bit fingerprint let
+    // ~83k candidate pairs through hamming <= 3 — the loose filter,
+    // not the hashing, dominated runtime. 64 bits matches the
+    // production variant's discrimination. --------------------------------
     QuerySpec.sql("q_dedup_simhash_md5")(
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |           FROM documents),
         |h AS (SELECT doc_id, md5(tok) AS hx FROM t),
-        |nb AS (SELECT doc_id, list_transform(range(0, 32), b ->
+        |nb AS (SELECT doc_id, list_transform(range(0, 64), b ->
         |         CASE WHEN floor(CAST(
         |             strpos('0123456789abcdef',
         |               substr(hx, CAST(b // 4 AS INT) + 1, 1)) - 1
         |             AS BIGINT) / CAST(2 ** (b % 4) AS BIGINT)) % 2 = 1
         |           THEN 1 ELSE -1 END) AS votes
         |       FROM h),
-        |v AS (SELECT doc_id, unnest(range(0, 32)) AS b, votes FROM nb),
+        |v AS (SELECT doc_id, unnest(range(0, 64)) AS b, votes FROM nb),
         |s AS (SELECT doc_id, b,
         |        sum(CAST(list_extract(votes, CAST(b + 1 AS INT))
         |          AS BIGINT)) AS vote
@@ -408,7 +412,7 @@ object TextQueries {
         |       FROM s GROUP BY 1),
         |band AS (SELECT doc_id, fp, unnest(range(0, 4)) AS bd FROM fp),
         |bk AS (SELECT doc_id, fp, bd, array_to_string(
-        |         fp[CAST(bd*8+1 AS INT):CAST(bd*8+8 AS INT)], '')
+        |         fp[CAST(bd*16+1 AS INT):CAST(bd*16+16 AS INT)], '')
         |         AS key FROM band),
         |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
         |           x.fp AS fa, y.fp AS fb
@@ -417,7 +421,7 @@ object TextQueries {
         |            AND x.doc_id < y.doc_id
         |         GROUP BY 1, 2, 3, 4),
         |ham AS (SELECT doc_a, doc_b,
-        |         CAST(list_sum(list_transform(range(1, 33), i ->
+        |         CAST(list_sum(list_transform(range(1, 65), i ->
         |           CASE WHEN fa[CAST(i AS INT)] <> fb[CAST(i AS INT)]
         |                THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
         |        FROM cand)
@@ -430,19 +434,19 @@ object TextQueries {
       // nibble m of the digest, as 0..15 (conv: hex digit -> decimal)
       def nib(m: Int) =
         conv(substring(col("hx"), m + 1, 1), 16, 10).cast(IntegerType)
-      val votes = (0 until 32).map { i =>
+      val votes = (0 until 64).map { i =>
         val bit = nib(i / 4).bitwiseAND(lit(1 << (i % 4)))
         sum(when(bit =!= 0, 1L).otherwise(-1L)).as(s"v$i")
       }
       val tallies = toked.groupBy("doc_id")
         .agg(votes.head, votes.tail: _*)
       val fps = tallies.select(col("doc_id"),
-        array((0 until 32).map(i =>
+        array((0 until 64).map(i =>
           when(col(s"v$i") > 0, 1).otherwise(0)): _*).as("fp"))
         .persist()
       val banded = fps.select(col("doc_id"), col("fp"),
         posexplode(transform(sequence(lit(0), lit(3)), b =>
-          concat_ws("", slice(col("fp"), b * 8 + 1, lit(8)))))
+          concat_ws("", slice(col("fp"), b * 16 + 1, lit(16)))))
           .as(Seq("bd", "key")))
       val cand = banded.as("x").join(banded.as("y"),
           col("x.bd") === col("y.bd") && col("x.key") === col("y.key") &&
