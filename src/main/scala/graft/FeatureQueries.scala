@@ -342,6 +342,59 @@ object FeatureQueries {
         .orderBy("event_id")
     },
 
+    // Rolling per-entity statistics (feature prep): count/mean/std of
+    // the trailing hour, from exact integer moments inside ONE range
+    // window frame — the classic time-series feature alongside
+    // q_window_range's rolling sum. Moments accumulate in DECIMAL(38,0)
+    // (see q_corr note: BIGINT Σx² wraps at scale); the mean/std
+    // formulas are the identical IEEE tree on both engines. One shuffle
+    // on the entity key; the frame is evaluated incrementally per key —
+    // never a self-join on time.
+    sql("q_rolling_stats")(
+      """WITH q AS (SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |f AS (SELECT event_id, user_id, ts_s,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) OVER w
+        |      AS DECIMAL(38,0)) AS s1,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) OVER w
+        |      AS DECIMAL(38,0)) AS s2
+        |  FROM q
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts_s, n,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS roll_mean_cents,
+        |  CASE WHEN n > 1 THEN
+        |    sqrt((CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |          / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+        |  ELSE 0e0 END AS roll_std_cents
+        |FROM f ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val q = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          floor(unix_timestamp(col("ts"))).cast("bigint").as("ts_s"),
+          round(col("value") * 100).cast("bigint").as("x"))
+      val w = Window.partitionBy("user_id").orderBy("ts_s")
+        .rangeBetween(-3600L, Window.currentRow)
+      val f = q.select(col("event_id"), col("user_id"), col("ts_s"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x").cast("decimal(38,0)")).over(w)
+          .cast("decimal(38,0)").as("s1"),
+        sum(col("x").cast("decimal(19,0)") * col("x")).over(w)
+          .cast("decimal(38,0)").as("s2"))
+      val nD = col("n").cast("double")
+      val s1D = col("s1").cast("double")
+      f.select(col("event_id"), col("user_id"), col("ts_s"), col("n"),
+          (s1D / nD).as("roll_mean_cents"),
+          when(col("n") > 1,
+            sqrt((col("s2").cast("double") - s1D * s1D / nD)
+              / (col("n") - 1).cast("double")))
+            .otherwise(lit(0.0)).as("roll_std_cents"))
+        .orderBy("event_id")
+    },
+
     // Hashing-trick categorical encoding (feature prep): category →
     // fixed bucket via md5 (the cross-engine-exact digest, per the
     // dedup-md5 idiom: Spark conv(hex,16,10) ≡ DuckDB strpos-over-hex).
