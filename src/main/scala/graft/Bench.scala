@@ -22,6 +22,22 @@ object Bench {
     // GC landing inside a timed window otherwise charges multi-second
     // pauses to whichever query was running.
     System.gc()
+    // Host-speed calibration probe: a fixed CPU-bound job whose cost is
+    // independent of the query suite. BENCH_r05 recorded 75 s where the
+    // same code measured 47-53 s in calm windows — uniform ~1.3-3x
+    // drift from neighbor CPU steal on the shared VM. Reporting the
+    // probe's median alongside the total lets any round's number be
+    // read RELATIVE to measured host speed (total/calib is comparable
+    // across rounds; total alone is not). Sampled both before and after
+    // the timed loop so a degradation window landing mid-run still
+    // moves the scalar.
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id % 7)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probeOnce() // warm the probe's generated code
+    val calibPre = Array.fill(3)(probeOnce())
     // Median-of-3 timed passes: single measurements on a shared VM
     // showed ±20-25% noise (GC, neighbor steal); the median discards
     // both a hiccup pass and a suspiciously-hot one, so consecutive
@@ -46,11 +62,13 @@ object Bench {
         val ts = Array(timeOnce(fn), timeOnce(fn), timeOnce(fn)).sorted
         name -> ts(1)
     }
+    val calibAll = (calibPre ++ Array.fill(3)(probeOnce())).sorted
+    val calib = (calibAll(2) + calibAll(3)) / 2.0 // median of 6
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"queries":$qs,"sf":"$sfDir"}"""
     // The driver captures only a ~2000-char TAIL of stdout; the full
     // per-query blob is >4 KB so its leading "total" field falls off
     // the window (BENCH r01-r03 all parsed:null). Persist the full blob
@@ -61,7 +79,7 @@ object Bench {
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"n_queries":${results.size},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -421,8 +421,11 @@ object StatsQueries {
     sql("q_graph_triangles")(
       """WITH cs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS i
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |cf AS (SELECT c, i FROM (SELECT c, i,
+        |         count(*) OVER (PARTITION BY c) AS deg FROM cs)
+        |       WHERE deg <= 500),
         |p AS (SELECT a.i AS lo, b.i AS hi, count(*) AS sh
-        |      FROM cs a JOIN cs b ON a.c = b.c AND a.i < b.i
+        |      FROM cf a JOIN cf b ON a.c = b.c AND a.i < b.i
         |      GROUP BY 1, 2),
         |m AS (SELECT CAST(CAST(sum(sh) AS BIGINT) AS DOUBLE) /
         |        CAST(count(*) AS DOUBLE) AS mu FROM p),
@@ -444,15 +447,18 @@ object StatsQueries {
       graft.ops.Graph.triangleStats(
         graft.ops.Materialize.parquet(
           graft.ops.Graph.coOccurrenceEdges(cs, "o_custkey", "l_suppkey",
-            meanFactor = 1.08), "cosupply"))
+            meanFactor = 1.08, maxDeg = 500L), "cosupply"))
     },
 
     // -- degree distribution of the same strong-tie projection ---------
     sql("q_graph_degree")(
       """WITH cs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS i
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |cf AS (SELECT c, i FROM (SELECT c, i,
+        |         count(*) OVER (PARTITION BY c) AS deg FROM cs)
+        |       WHERE deg <= 500),
         |p AS (SELECT a.i AS lo, b.i AS hi, count(*) AS sh
-        |      FROM cs a JOIN cs b ON a.c = b.c AND a.i < b.i
+        |      FROM cf a JOIN cf b ON a.c = b.c AND a.i < b.i
         |      GROUP BY 1, 2),
         |m AS (SELECT CAST(CAST(sum(sh) AS BIGINT) AS DOUBLE) /
         |        CAST(count(*) AS DOUBLE) AS mu FROM p),
@@ -470,7 +476,7 @@ object StatsQueries {
         .select(col("o_custkey"), col("l_suppkey"))
       val e = graft.ops.Materialize.parquet(
         graft.ops.Graph.coOccurrenceEdges(cs, "o_custkey",
-          "l_suppkey", meanFactor = 1.08), "cosupply")
+          "l_suppkey", meanFactor = 1.08, maxDeg = 500L), "cosupply")
       e.select(col("lo").as("node"))
         .unionAll(e.select(col("hi").as("node")))
         .groupBy("node").agg(count(lit(1)).as("degree"))

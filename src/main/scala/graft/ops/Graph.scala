@@ -60,11 +60,34 @@ object Graph {
     * and the filter collapses it to the strong ties before anything
     * downstream touches it. The mean folds in as a broadcast one-row
     * aggregate — no driver action.
+    *
+    * `maxDeg` is the hot-context skew guard (analog of
+    * `Dedup.ngramJaccardPairs`' `maxDf`): a single context touching d
+    * items contributes C(d, 2) rows to the self-join, so one viral
+    * context with d = 10⁵ alone emits ~5×10⁹ pairs at 100 TB. Contexts
+    * with more than maxDeg distinct items are dropped BEFORE the join.
+    * The degree is a window count partitioned by the context key, so it
+    * rides the same hash-partitioning the self-join needs — no extra
+    * shuffle shape. SEMANTICS: a context that broad co-occurs with
+    * nearly everything, so its pairs carry no tie-strength signal (the
+    * mean threshold would drown them anyway); with maxDeg far above the
+    * realistic per-context fan-out the result is exact. Default = no
+    * pruning.
     */
   def coOccurrenceEdges(pairs: DataFrame, ctxCol: String, itemCol: String,
-                        meanFactor: Double): DataFrame = {
-    val p = pairs.select(col(ctxCol).as("c"), col(itemCol).as("i"))
+                        meanFactor: Double,
+                        maxDeg: Long = Long.MaxValue): DataFrame = {
+    val distinctP = pairs.select(col(ctxCol).as("c"), col(itemCol).as("i"))
       .distinct()
+    val p =
+      if (maxDeg == Long.MaxValue) distinctP
+      else {
+        val byCtx =
+          org.apache.spark.sql.expressions.Window.partitionBy(col("c"))
+        distinctP.withColumn("deg", count(lit(1)).over(byCtx))
+          .filter(col("deg") <= maxDeg)
+          .drop("deg")
+      }
     val shared = p.as("a").join(p.as("b"),
         col("a.c") === col("b.c") && col("a.i") < col("b.i"))
       .groupBy(col("a.i").as("lo"), col("b.i").as("hi"))

@@ -29,7 +29,12 @@ class FeaturePrepSpec extends SparkSpec {
         .cast("bigint").as("m"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     fills.foreach { case (t, v) =>
-      assert(v == means(t), s"type $t filled $v, mean is ${means(t)}")
+      means.get(t) match {
+        case Some(m) => assert(v == m, s"type $t filled $v, mean is $m")
+        case None => fail(s"type $t has NO non-null values — the query " +
+          "would emit NULL imputed_cents, which the null-check above " +
+          "must already have caught")
+      }
     }
   }
 

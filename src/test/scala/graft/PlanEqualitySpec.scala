@@ -47,10 +47,11 @@ class PlanEqualitySpec extends SparkSpec {
     assert(joinTypes.contains(LeftSemi) && joinTypes.contains(LeftAnti),
       s"expected decorrelated semi+anti joins, got $joinTypes")
     // no correlated subquery survives optimization — the plan is pure
-    // joins + aggregate, never a per-row subquery execution
-    val residual = plan.expressions.flatMap(_.collect {
-      case p: PlanExpression[_] => p
-    })
+    // joins + aggregate, never a per-row subquery execution; walk the
+    // WHOLE tree (a PlanExpression below the root would otherwise hide)
+    val residual = plan.collect { case n => n }
+      .flatMap(_.expressions)
+      .flatMap(_.collect { case p: PlanExpression[_] => p })
     assert(residual.isEmpty, s"residual subqueries: $residual")
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
   QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.joins.{BaseJoinExec,
   ShuffledHashJoinExec, SortMergeJoinExec}
 
@@ -17,15 +18,18 @@ import graft.SparkSpec
 class SkewGuardSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Every physical node, descending through AQE wrappers and
-    * materialized query stages — TreeNode.collect alone treats
-    * QueryStageExec as a leaf, hiding the join node (and its metrics)
-    * inside earlier stages.
+  /** Every physical node, descending through AQE wrappers,
+    * materialized query stages, AND cached relations —
+    * TreeNode.collect alone treats QueryStageExec and
+    * InMemoryTableScanExec as leaves, hiding join nodes (and their
+    * metrics) inside earlier stages or behind a persist().
     */
   private def deepNodes(p: SparkPlan): Seq[SparkPlan] =
     p.collect { case n => n }.toSeq.flatMap {
       case a: AdaptiveSparkPlanExec => a +: deepNodes(a.executedPlan)
       case q: QueryStageExec => q +: deepNodes(q.plan)
+      case c: InMemoryTableScanExec =>
+        c +: deepNodes(c.relation.cachedPlan)
       case n => Seq(n)
     }
 
@@ -72,6 +76,36 @@ class SkewGuardSpec extends SparkSpec {
       s"viral fixture no longer skews: $unguardedRows join rows")
     assert(guardedRows <= 100L,
       s"maxDf guard failed to cap the join: $guardedRows rows")
+  }
+
+  test("coOccurrenceEdges maxDeg guard caps the context self-join under " +
+    "a planted hot context — and still finds the true strong tie") {
+    // One viral context (c=0) touches 300 items → C(300,2) = 44,850
+    // join rows from that key alone; ten normal contexts each hold
+    // {1000, 1001, noise} so the genuine tie (1000, 1001) has shared=10
+    // while every noise pair has shared=1 (mean ≈ 1.43, factor 2 →
+    // threshold ≈ 2.9 keeps only the true tie).
+    val hot = (0 until 300).map(i => (0L, i.toLong))
+    val ties = (1 to 10).flatMap(c =>
+      Seq((c.toLong, 1000L), (c.toLong, 1001L), (c.toLong, 2000L + c)))
+    val pairs = (hot ++ ties).toDF("c", "i")
+
+    val guarded = graft.ops.Graph.coOccurrenceEdges(
+      pairs, "c", "i", meanFactor = 2.0, maxDeg = 50L)
+    val edges = guarded.select("lo", "hi").as[(Long, Long)].collect().toSet
+    assert(edges == Set((1000L, 1001L)), s"guarded result wrong: $edges")
+    val guardedRows = maxJoinOutputRows(guarded)
+
+    val unguarded = graft.ops.Graph.coOccurrenceEdges(
+      pairs, "c", "i", meanFactor = 2.0)
+    val unguardedRows = maxJoinOutputRows(unguarded)
+
+    // if someone removes the degree filter from coOccurrenceEdges the
+    // guarded join jumps to ~44,880 rows and this fails
+    assert(unguardedRows >= 40000L,
+      s"hot fixture no longer skews: $unguardedRows join rows")
+    assert(guardedRows <= 100L,
+      s"maxDeg guard failed to cap the join: $guardedRows rows")
   }
 
   test("bucketedPairs: AQE splits a planted hot LSH bucket " +
