@@ -47,6 +47,34 @@ object MultimodalQueries {
         .orderBy("media_id", "frame_idx")
     },
 
+    // -- byte-level frame stats over the binary column (oracle-green
+    // decode path): the synthetic media bytes are utf8 of the ASCII
+    // document text, so DuckDB reproduces every per-frame stat from
+    // character codes while Spark computes them from the raw bytes in
+    // the same partition-local batched shape a real codec runs in ------
+    QuerySpec.sql("q_media_bytestats")(
+      """WITH c AS (SELECT doc_id, j // 256 AS frame_idx,
+        |    ord(substring(text, CAST(j + 1 AS INT), 1)) AS b
+        |  FROM (SELECT doc_id, text, unnest(range(0, length(text))) AS j
+        |        FROM documents))
+        |SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(count(*) AS BIGINT) AS n_bytes,
+        |  CAST(sum(b) AS BIGINT) AS checksum,
+        |  CAST(min(b) AS INT) AS lo,
+        |  CAST(max(b) AS INT) AS hi,
+        |  CAST(sum(CASE WHEN b = 32 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_space
+        |FROM c GROUP BY 1, 2, 3
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      Media.byteFrameStats(
+          Media.syntheticFromDocuments(Q.t(s, dir, "documents")),
+          frameBytes = 256)
+        .orderBy("media_id", "frame_idx")
+    },
+
     // -- batched stub-codec feature extraction (rows-only) --------------
     QuerySpec.rowsOnly("q_media_features") { (s, dir) =>
       val media = Media.syntheticFromDocuments(Q.t(s, dir, "documents"))

@@ -121,6 +121,57 @@ object Media {
       }(enc)
   }
 
+  /** Byte-level frame statistics over the opaque binary column: split
+    * each media item's bytes into fixed `frameBytes` frames and emit
+    * per-frame (length, unsigned-sum checksum, min/max byte, space
+    * count). Unlike [[StubCodec]] features this reads the REAL bytes —
+    * it is the deterministic, cross-engine-checkable slice of the
+    * decode path (the synthetic media bytes are utf8 text, so a SQL
+    * oracle can reproduce every stat from character codes), while
+    * keeping exactly the partition-local batched-extraction plan shape
+    * a production codec runs in.
+    *
+    * Scale: narrow map, no shuffle; output rows ≈ total_bytes /
+    * frameBytes, each a fixed-width record — the raw bytes never leave
+    * the scan partition.
+    */
+  def byteFrameStats(media: DataFrame, frameBytes: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("frame_idx", LongType),
+      StructField("n_bytes", LongType),
+      StructField("checksum", LongType),
+      StructField("lo", IntegerType),
+      StructField("hi", IntegerType),
+      StructField("n_space", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select("media_id", "kind", "bytes").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val kind = r.getString(1)
+        val b = r.getAs[Array[Byte]](2)
+        val nFrames = (b.length + frameBytes - 1) / frameBytes
+        (0 until nFrames).iterator.map { f =>
+          var i = f * frameBytes
+          val end = math.min(b.length, i + frameBytes)
+          val n = end - i
+          var sum = 0L; var lo = 256; var hi = -1; var ws = 0L
+          while (i < end) {
+            val v = b(i) & 0xff
+            sum += v
+            if (v < lo) lo = v
+            if (v > hi) hi = v
+            if (v == 32) ws += 1
+            i += 1
+          }
+          Row(id, kind, f.toLong, n.toLong, sum, lo, hi, ws)
+        }
+      }
+    }(enc)
+  }
+
   /** Image resize: narrow map re-encoding bytes + rewriting meta dims. */
   def resizeImages(media: DataFrame, codec: Codec, w: Int,
                    h: Int): DataFrame = {

@@ -53,6 +53,25 @@ class MediaSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("byteFrameStats: exact frame split, hand-checked stats, empty " +
+    "bytes emit no frames, exact-multiple lengths have no short frame") {
+    // "abc" = 97,98,99; " " = 32; 4-byte frames over known payloads
+    val fixture = Seq(
+      (1L, "image", "abc abc!".getBytes("UTF-8")), // 8 = 2 full frames
+      (2L, "audio", "xyz".getBytes("UTF-8")),      // 1 short frame
+      (3L, "video", Array.emptyByteArray)          // no frames
+    ).toDF("media_id", "kind", "bytes")
+    val out = Media.byteFrameStats(fixture, frameBytes = 4)
+      .orderBy("media_id", "frame_idx")
+      .as[(Long, String, Long, Long, Long, Int, Int, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, "image", 0L, 4L, 97L + 98L + 99L + 32L, 32, 99, 1L),
+      (1L, "image", 1L, 4L, 97L + 98L + 99L + 33L, 33, 99, 0L),
+      (2L, "audio", 0L, 3L, 120L + 121L + 122L, 120, 122, 0L)),
+      s"unexpected frame stats: $out")
+  }
+
   test("repartitionBySize yields size-proportional partition count") {
     val out = Media.repartitionBySize(media, targetBytes = 10000L)
     val total = media.agg(sum(octet_length($"bytes"))).as[Long].head()
