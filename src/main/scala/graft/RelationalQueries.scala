@@ -478,6 +478,20 @@ object RelationalQueries {
     sql("q_sql_text5")(RelationalQueries.SqlTextQuery5) { (s, dir) =>
       t(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql(RelationalQueries.SqlTextQuery5)
+    },
+
+    // Sixth verbatim-ANSI string — TPC-H Q2 shape: a CORRELATED SCALAR
+    // subquery (MIN over a 4-way join) through the raw SQL path, the
+    // one classic decorrelation family not yet exercised as SQL text
+    // (q_subquery_scalar covers the DataFrame twin). Catalyst's
+    // RewriteCorrelatedScalarSubquery turns the per-part MIN into an
+    // aggregate-then-join on p_partkey — the optimized plan is pure
+    // joins + aggregates, never a per-row subquery execution
+    // (PlanEqualitySpec pins this).
+    sql("q_sql_text6")(RelationalQueries.SqlTextQuery6) { (s, dir) =>
+      Seq("part", "supplier", "lineitem", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(RelationalQueries.SqlTextQuery6)
     }
   )
 
@@ -582,4 +596,31 @@ object RelationalQueries {
       |  FROM orders)
       |WHERE rn <= 10
       |ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** TPC-H Q2 shape, dialect-neutral: minimum-cost supplier per part
+    * via a correlated scalar MIN subquery over a multi-join (lineitem
+    * stands in for partsupp, so DISTINCT collapses repeated line items
+    * of the same part/supplier at the minimum price). The MIN is over
+    * identical doubles on both engines — bit-equal, so the equality
+    * predicate selects identical rows. ORDER BY ends on the unique
+    * (p_partkey, s_suppkey).
+    */
+  val SqlTextQuery6: String =
+    """SELECT DISTINCT p_partkey, s_suppkey, s_acctbal, s_name, n_name,
+      |  p_brand, l_extendedprice AS min_price
+      |FROM part
+      |JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_size <= 10
+      |  AND r_name = 'EUROPE'
+      |  AND l_extendedprice = (
+      |    SELECT MIN(l2.l_extendedprice)
+      |    FROM lineitem l2
+      |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      |    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY p_partkey, s_suppkey""".stripMargin
 }

@@ -54,4 +54,23 @@ class PlanEqualitySpec extends SparkSpec {
       .flatMap(_.collect { case p: PlanExpression[_] => p })
     assert(residual.isEmpty, s"residual subqueries: $residual")
   }
+
+  test("q_sql_text6: correlated scalar MIN subquery decorrelates to an " +
+    "aggregate-then-join with no residual subquery anywhere in the tree") {
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = Queries.queries("q_sql_text6")(spark, dir)
+      .queryExecution.optimizedPlan
+    // the per-part MIN must have become a standalone Aggregate feeding
+    // a join on the correlation key — i.e. at least one aggregate UNDER
+    // a join in the tree
+    val aggUnderJoin = plan.collect { case j: Join => j }.exists(j =>
+      j.collectFirst { case a: Aggregate => a }.isDefined)
+    assert(aggUnderJoin,
+      s"no aggregate-under-join found — decorrelation did not fire:\n$plan")
+    val residual = plan.collect { case n => n }
+      .flatMap(_.expressions)
+      .flatMap(_.collect { case p: PlanExpression[_] => p })
+    assert(residual.isEmpty, s"residual subqueries: $residual")
+  }
 }
