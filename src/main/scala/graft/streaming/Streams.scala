@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues,
-  Trigger, TTLConfig, ValueState}
+  ListState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode,
+  TimerValues, Trigger, TTLConfig, ValueState}
 
 /** Structured-Streaming surface mirroring the reference's feedback loop
   * (SURVEY.md A20-A22): Pub/Sub topics → streaming sources; the logger
@@ -128,6 +128,86 @@ object Streams {
     events.groupByKey(_._1)
       .transformWithState(new UserStatsProcessor(ttl), TimeMode.None(),
         OutputMode.Update())
+  }
+
+  final case class RollingStat(eventId: Long, userId: Long, tsS: Long,
+                               n: Long, rollMeanCents: Double,
+                               rollStdCents: Double)
+
+  /** Streaming twin of the batch `q_rolling_stats` RANGE frame: per
+    * entity, count/mean/std of the trailing `windowSec` seconds,
+    * emitted once per event. State per key is the trailing-window
+    * buffer of (ts, cents) pairs — bounded by the window's event rate,
+    * evicted as the frame slides, never the full history.
+    *
+    * Parity contract with the batch RANGE frame (and its limits):
+    * events must arrive in event-time order ACROSS batches, and rows
+    * of one (key, ts) peer group must share a micro-batch — a RANGE
+    * frame includes all equal-ts peers, which an incremental operator
+    * can only honor if it sees them together. Both hold for replayed
+    * logs partitioned on time (the retrain-loop shape); a live
+    * out-of-order feed needs the watermark-bounded windowed form
+    * instead ([[windowedAgg]]).
+    *
+    * Exactness: moments are integer cents (s1, s2 as BigInt — the
+    * in-JVM analog of the batch DECIMAL(38,0) accumulators), and the
+    * mean/std expressions are the identical IEEE tree the batch query
+    * evaluates, so outputs are bit-equal to the window-function result.
+    */
+  class RollingStatsProcessor(windowSec: Long)
+      extends StatefulProcessor[Long, (Long, Long, Long, Long),
+        RollingStat] {
+    // input rows: (user_id, event_id, ts_s, x_cents)
+    @transient private var buf: ListState[(Long, Long)] = _ // (ts_s, x)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState(
+        "buf",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Long)],
+        timerValues: TimerValues): Iterator[RollingStat] = {
+      var window = buf.get().map(v => (v._1, v._2)).toVector
+      val out = Vector.newBuilder[RollingStat]
+      val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+      var i = 0
+      while (i < sorted.length) {
+        val t = sorted(i)._3
+        var j = i
+        while (j < sorted.length && sorted(j)._3 == t) j += 1
+        // admit the whole peer group before emitting (RANGE-frame
+        // semantics: equal-ts rows see each other), then slide the frame
+        (i until j).foreach(k => window :+= ((t, sorted(k)._4)))
+        window = window.filter(_._1 >= t - windowSec)
+        val n = window.length.toLong
+        var s1 = BigInt(0); var s2 = BigInt(0)
+        window.foreach { e =>
+          val x = BigInt(e._2); s1 += x; s2 += x * x
+        }
+        val nD = n.toDouble
+        val s1D = s1.toDouble
+        val mean = s1D / nD
+        val std =
+          if (n > 1) math.sqrt((s2.toDouble - s1D * s1D / nD) / (n - 1))
+          else 0.0
+        (i until j).foreach(k =>
+          out += RollingStat(sorted(k)._2, key, t, n, mean, std))
+        i = j
+      }
+      buf.clear()
+      window.foreach(e => buf.appendValue(e))
+      out.result().iterator
+    }
+  }
+
+  def rollingStatsTws(events: Dataset[(Long, Long, Long, Long)],
+                      windowSec: Long): Dataset[RollingStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RollingStatsProcessor(windowSec),
+        TimeMode.None(), OutputMode.Append())
   }
 
   final case class SessionAcc(startMs: Long, endMs: Long, n: Long)

@@ -123,6 +123,69 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingStatsTws replayed in time-ordered micro-batches equals " +
+    "the batch q_rolling_stats RANGE frame bit-for-bit") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    implicit val sqlCtx = s2.sqlContext
+    val dir = "/root/testdata/sf0.001"
+
+    val batch = graft.Queries.queries("q_rolling_stats")(s2, dir)
+
+    // the same feed the batch query reads: (user_id, event_id, ts_s, x),
+    // replayed in event-time order so the trailing frame is incremental
+    val feed = graft.io.Tables.table(s2, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        floor(unix_timestamp(col("ts"))).cast("long").as("ts_s"),
+        round(col("value") * 100).cast("long").as("x"))
+      .orderBy("ts_s", "event_id")
+      .as[(Long, Long, Long, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .collect()
+
+    // 3 micro-batches cut at distinct-ts boundaries so equal-ts peer
+    // groups stay co-batched (the RANGE-frame parity contract)
+    def cutAfter(idx: Int): Int = {
+      var i = idx
+      while (i < feed.length && feed(i)._3 == feed(idx - 1)._3) i += 1
+      i
+    }
+    val c1 = cutAfter(feed.length / 3)
+    val c2 = cutAfter(2 * feed.length / 3)
+    val chunks = Seq(feed.slice(0, c1), feed.slice(c1, c2),
+      feed.slice(c2, feed.length)).filter(_.nonEmpty)
+    assert(chunks.length == 3, "fixture degenerated to fewer batches")
+
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val q = Streams.rollingStatsTws(in.toDS(), windowSec = 3600L)
+      .writeStream.format("memory").queryName("rolltws")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c =>
+        in.addData(c.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = s2.table("rolltws").select(
+        col("eventId").as("event_id"), col("userId").as("user_id"),
+        col("tsS").as("ts_s"), col("n"),
+        col("rollMeanCents").as("roll_mean_cents"),
+        col("rollStdCents").as("roll_std_cents"))
+      assert(streamed.count() == feed.length.toLong)
+      val onlyBatch = batch.exceptAll(streamed).count()
+      val onlyStream = streamed.exceptAll(batch).count()
+      assert(onlyBatch == 0 && onlyStream == 0,
+        s"parity broken: $onlyBatch batch-only rows, " +
+          s"$onlyStream stream-only rows")
+    } finally q.stop()
+  }
+
   test("statefulSessions emits a closed session once the watermark " +
     "passes last-event + gap") {
     implicit val sqlCtx = spark.sqlContext
