@@ -173,6 +173,43 @@ final class FeatureStore(spark: SparkSession, root: String) {
     Relational.asofJoinIntervalized(queries, spark.table(table),
       entityIdCol, asOfTsCol, "feature_ts", featureCols)
 
+  /** Streaming serving-side point-in-time read — the consume
+    * counterpart of [[streamingImport]]: each micro-batch of
+    * (entity, asOfTs) query rows is as-of joined against a
+    * [[compactBucketed]] feature table through the intervalized path
+    * (shuffles ONLY the query side) and written to its own
+    * `batch=<id>` partition, so a replayed batch after a crash
+    * rewrites the same files instead of duplicating output (the
+    * idempotentAppendLoop sink shape). PIT semantics are unchanged: a
+    * query row never reads a feature value stamped after its as-of
+    * time, even when newer values already sit in the table.
+    *
+    * 100 TB note: per-batch cost is the micro-batch-sized query
+    * shuffle — the petabyte-scale bucketed feature history is never
+    * re-shuffled, which is what makes a minutes-cadence serving join
+    * viable at all.
+    */
+  def streamingPointInTime(table: String, queryStream: DataFrame,
+                           entityIdCol: String, asOfTsCol: String,
+                           featureCols: Seq[String], outPath: String,
+                           checkpoint: String,
+                           trigger: org.apache.spark.sql.streaming.Trigger =
+                             org.apache.spark.sql.streaming.Trigger
+                               .ProcessingTime("5 minutes"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          pointInTimeBucketed(table, batch, entityIdCol, asOfTsCol,
+              featureCols)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
+
   /** Online-serving view: current (latest) value per entity. */
   def latestOnlineView(entityType: String, entityIdCol: String,
                        tiebreak: String): DataFrame =

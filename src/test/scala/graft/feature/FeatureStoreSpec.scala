@@ -67,6 +67,50 @@ class FeatureStoreSpec extends SparkSpec {
     }
   }
 
+  test("streamingPointInTime serves micro-batched queries through the " +
+    "bucketed PIT path and never reads future feature values") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    withStore { fs =>
+      fs.createEntityType(EntityTypeDef("users", "user_id", Seq.empty))
+      fs.importFeatureValues("users",
+        Seq((1L, 10.0), (2L, 5.0)).toDF("user_id", "rating"), "user_id",
+        Some(ts("2024-01-01 00:00:00")))
+      fs.importFeatureValues("users",
+        Seq((1L, 20.0)).toDF("user_id", "rating"), "user_id",
+        Some(ts("2024-03-01 00:00:00")))
+      fs.compactBucketed("users", "user_id", "b_pit_stream", 4)
+      val root = Files.createTempDirectory("fspitstream").toString
+      val in = MemoryStream[(Long, Timestamp)]
+      val q = fs.streamingPointInTime("b_pit_stream",
+        in.toDF().toDF("user_id", "as_of"), "user_id", "as_of",
+        Seq("rating"), s"$root/out", s"$root/ckpt",
+        Trigger.ProcessingTime("0 seconds"))
+      try {
+        // the 20.0 value (2024-03-01) is ALREADY in the table when this
+        // 2024-02-01 query streams in — PIT must still serve 10.0
+        in.addData((1L, ts("2024-02-01 00:00:00")),
+          (2L, ts("2023-12-01 00:00:00"))) // before any import -> null
+        q.processAllAvailable()
+        in.addData((1L, ts("2024-04-01 00:00:00"))) // after both -> 20.0
+        q.processAllAvailable()
+        val served = spark.read.parquet(s"$root/out")
+          .select("user_id", "as_of", "asof_rating")
+          .as[(Long, Timestamp, Option[Double])].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        assert(served == Map(
+          (1L, ts("2024-02-01 00:00:00")) -> Some(10.0),
+          (2L, ts("2023-12-01 00:00:00")) -> None,
+          (1L, ts("2024-04-01 00:00:00")) -> Some(20.0)),
+          s"unexpected serving output: $served")
+      } finally {
+        q.stop()
+        spark.sql("DROP TABLE IF EXISTS b_pit_stream")
+      }
+    }
+  }
+
   test("point-in-time retrieval never reads the future; online view " +
       "returns the newest import (A15)") {
     withStore { fs =>
