@@ -492,6 +492,11 @@ object RelationalQueries {
       Seq("part", "supplier", "lineitem", "nation", "region")
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql(RelationalQueries.SqlTextQuery6)
+    },
+    sql("q_sql_text7")(RelationalQueries.SqlTextQuery7) { (s, dir) =>
+      Seq("part", "supplier", "lineitem", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(RelationalQueries.SqlTextQuery7)
     }
   )
 
@@ -623,4 +628,28 @@ object RelationalQueries {
       |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
       |    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
       |ORDER BY p_partkey, s_suppkey""".stripMargin
+
+  /** TPC-H Q20 shape, dialect-neutral: an IN-subquery whose inner
+    * query itself carries a correlated scalar aggregate — the nested
+    * decorrelation family (semi-join over an aggregate-then-join).
+    * "Suppliers in a nation who shipped a red part in a quantity
+    * above half that part's average shipment." Sums of integer-valued
+    * doubles are exact in IEEE well past 2^53-scale row counts, so the
+    * AVG threshold is bit-equal cross-engine.
+    */
+  val SqlTextQuery7: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      |  AND s_suppkey IN (
+      |    SELECT l1.l_suppkey
+      |    FROM lineitem l1
+      |    WHERE l1.l_partkey IN (
+      |        SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |      AND l1.l_quantity > (
+      |        SELECT 0.5 * (SUM(l2.l_quantity) / COUNT(*))
+      |        FROM lineitem l2
+      |        WHERE l2.l_partkey = l1.l_partkey))
+      |ORDER BY s_suppkey""".stripMargin
 }

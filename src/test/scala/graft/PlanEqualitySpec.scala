@@ -73,4 +73,24 @@ class PlanEqualitySpec extends SparkSpec {
       .flatMap(_.collect { case p: PlanExpression[_] => p })
     assert(residual.isEmpty, s"residual subqueries: $residual")
   }
+
+  test("q_sql_text7: IN-subquery nesting a correlated scalar AVG " +
+    "decorrelates fully — semi joins + aggregate, no residual subquery") {
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = Queries.queries("q_sql_text7")(spark, dir)
+      .queryExecution.optimizedPlan
+    val joinTypes = plan.collect { case j: Join => j.joinType }
+    assert(joinTypes.count(_ == LeftSemi) >= 2,
+      s"expected >=2 semi joins (outer IN + inner IN), got $joinTypes")
+    val aggUnderJoin = plan.collect { case j: Join => j }.exists(j =>
+      j.collectFirst { case a: Aggregate => a }.isDefined)
+    assert(aggUnderJoin,
+      s"no aggregate-under-join — scalar decorrelation did not fire:\n$plan")
+    val residual = plan.collect { case n => n }
+      .flatMap(_.expressions)
+      .flatMap(_.collect { case p: PlanExpression[_] => p })
+    assert(residual.isEmpty, s"residual subqueries: $residual")
+  }
 }
