@@ -4,6 +4,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional comma-separated query-name subset — the scaling-slope
+    // harness benches the expensive queries alone at sf >= 1.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    // Fast mode (scaling-slope runs at sf >= 1): one warm + one timed
+    // execution instead of 2 warm + 3 timed. Slope conclusions are
+    // about 10x-vs-100x growth, not +/-5% noise, and five executions
+    // of a minutes-long query would dominate the wall-clock budget.
+    val fast = sys.env.get("SPARK_GRAFT_FAST").contains("1")
     // The documented recommended config (Sessions.tuned): AQE +
     // coalesce/skew handling, 64 MB broadcast threshold, zstd — bench
     // what we tell users to deploy.
@@ -15,7 +24,9 @@ object Bench {
     // Prime the shared machinery (shuffle service, parquet footers,
     // catalog) once; per-query warming happens inline below.
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    SparkEntry.queries.foreach { case (_, fn) =>
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    selected.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
     // Compact the heap after the warm pass builds every cache — a full
@@ -56,11 +67,14 @@ object Bench {
     // became cold-compile measurements that scaled with suite size,
     // not query cost. Warm-then-time per query measures steady state
     // independent of how many other queries the suite carries.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        timeOnce(fn) // re-warm: codegen + caches hot for THIS query
-        val ts = Array(timeOnce(fn), timeOnce(fn), timeOnce(fn)).sorted
-        name -> ts(1)
+        if (fast) name -> timeOnce(fn)
+        else {
+          timeOnce(fn) // re-warm: codegen + caches hot for THIS query
+          val ts = Array(timeOnce(fn), timeOnce(fn), timeOnce(fn)).sorted
+          name -> ts(1)
+        }
     }
     val calibAll = (calibPre ++ Array.fill(3)(probeOnce())).sorted
     val calib = (calibAll(2) + calibAll(3)) / 2.0 // median of 6

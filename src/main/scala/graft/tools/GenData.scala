@@ -1,0 +1,198 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic scale-factor testdata generator, schema- and
+  * distribution-compatible with the driver-generated tables in
+  * `/root/testdata/sf*` (TESTDATA.md) — the tool that lets us measure
+  * the engine's SCALING SLOPE above the provided sf0.1 (VERDICT r5 #1:
+  * run the expensive queries at sf0.1 and sf1 and check wall-time grows
+  * ~linearly with data).
+  *
+  * Every column derives from `xxhash64(id, salt)` — fully
+  * deterministic, independent of partitioning and parallelism (unlike
+  * `rand(seed)`, whose draw sequence is per-partition). Distributions
+  * were fitted to the sf0.1 tables: key ranges scale linearly with sf;
+  * dictionary columns match the observed domains; `documents` replants
+  * the observed near-dup structure (~5% of docs are an earlier doc
+  * plus a trailing " dup" marker, ~0.17% are exact copies) and the
+  * 30-word vocabulary; `embeddings` are unit-normalized dim-64 vectors.
+  *
+  * Usage: `runMain graft.tools.GenData <outDir> <sf>`.
+  */
+object GenData {
+
+  private def u(salt: Long): org.apache.spark.sql.Column =
+    (pmod(xxhash64(col("id"), lit(salt)), lit(1000000L)) / 1000000.0)
+
+  private def h(salt: Long, m: Long): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("id"), lit(salt)), lit(m))
+
+  private def pick(salt: Long, vs: String*): org.apache.spark.sql.Column =
+    element_at(array(vs.map(lit): _*), (h(salt, vs.size) + 1).cast("int"))
+
+  val Vocab: Seq[String] = Seq("spark", "window", "merge", "table",
+    "column", "vector", "stream", "value", "data", "small", "join",
+    "filter", "big", "group", "hash", "customer", "sort", "order",
+    "slow", "line", "part", "fast", "the", "row", "agg", "key", "query",
+    "a", "scan", "batch")
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val sf = args(1).toDouble
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("gendata").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    write(spark, outDir, sf)
+    spark.stop()
+  }
+
+  def write(spark: SparkSession, outDir: String, sf: Double): Unit = {
+    val nCust = math.max(150, (150000 * sf).toLong)
+    val nSupp = math.max(10, (10000 * sf).toLong)
+    val nPart = math.max(200, (200000 * sf).toLong)
+    val nOrd = math.max(1500, (1500000 * sf).toLong)
+    val nEvt = math.max(1000, (1000000 * sf).toLong)
+    val nDoc = math.max(500, (50000 * sf).toLong)
+    val nEmb = math.max(500, (20000 * sf).toLong)
+
+    def save(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    save(spark.range(5).select(col("id").cast(IntegerType)
+        .as("r_regionkey"),
+      element_at(array(lit("AFRICA"), lit("AMERICA"), lit("ASIA"),
+        lit("EUROPE"), lit("MIDDLE EAST")), col("id").cast(IntegerType)
+          + 1).as("r_name")), "region")
+
+    save(spark.range(25).select(
+      col("id").cast(IntegerType).as("n_nationkey"),
+      concat(lit("NATION_"), col("id")).as("n_name"),
+      (col("id") % 5).cast(IntegerType).as("n_regionkey")), "nation")
+
+    save(spark.range(nCust).select(
+      col("id").as("c_custkey"),
+      format_string("Customer#%09d", col("id")).as("c_name"),
+      h(101, 25).cast(IntegerType).as("c_nationkey"),
+      round(lit(-1000.0) + u(102) * 11000.0, 2).as("c_acctbal"),
+      pick(103, "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+        "MACHINERY").as("c_mktsegment")), "customer")
+
+    save(spark.range(nSupp).select(
+      col("id").as("s_suppkey"),
+      format_string("Supplier#%09d", col("id")).as("s_name"),
+      h(111, 25).cast(IntegerType).as("s_nationkey"),
+      round(u(112) * 10000.0, 2).as("s_acctbal")), "supplier")
+
+    save(spark.range(nPart).select(
+      col("id").as("p_partkey"),
+      concat(pick(121, "large", "hot", "blue", "green", "small", "red",
+          "dim", "cold"), lit(" "),
+        pick(122, "ring", "bolt", "nut", "gear", "cog", "pin", "rod",
+          "cap")).as("p_name"),
+      concat(lit("Brand#"), h(123, 25) + 1).as("p_brand"),
+      pick(124, "STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY",
+        "PROMO").as("p_type"),
+      (h(125, 50) + 1).cast(IntegerType).as("p_size"),
+      round(lit(900.0) + h(126, 1000) * 0.1, 2).as("p_retailprice")),
+      "part")
+
+    val orders = spark.range(nOrd).select(
+      col("id").as("o_orderkey"),
+      h(131, nCust).as("o_custkey"),
+      pick(132, "O", "P", "F").as("o_orderstatus"),
+      round(lit(1000.0) + u(133) * 499000.0, 2).as("o_totalprice"),
+      (lit("1995-01-01").cast(TimestampType).cast(LongType)
+        + h(134, 2404) * 86400L).cast(TimestampType).as("o_orderdate"),
+      pick(135, "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+        "5-LOW").as("o_orderpriority"),
+      (h(136, 7) + 1).cast(IntegerType).as("__nl"))
+    // driver tables store order/ship dates as TIMESTAMP_NTZ; session
+    // TZ is UTC so the LTZ→NTZ cast is numerically exact
+    save(orders.drop("__nl").withColumn("o_orderdate",
+      col("o_orderdate").cast(TimestampNTZType)), "orders")
+
+    // avg 4 line items per order, line-level columns hashed on
+    // (orderkey, linenumber) so they stay partitioning-independent
+    def lh(salt: Long, m: Long) = pmod(
+      xxhash64(col("l_orderkey"), col("l_linenumber"), lit(salt)), lit(m))
+    def lu(salt: Long) = lh(salt, 1000000L) / 1000000.0
+    save(orders
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"),
+        explode(sequence(lit(1), col("__nl"))).as("l_linenumber"))
+      .select(
+        col("l_orderkey"),
+        lh(141, nPart).as("l_partkey"),
+        lh(142, nSupp).as("l_suppkey"),
+        col("l_linenumber").cast(IntegerType),
+        (lh(143, 50) + 1).cast(DoubleType).as("l_quantity"),
+        round(lit(900.0) + lu(144) * 104100.0, 2).as("l_extendedprice"),
+        round(lh(145, 11).cast(DoubleType) / 100.0, 2).as("l_discount"),
+        round(lh(146, 9).cast(DoubleType) / 100.0, 2).as("l_tax"),
+        element_at(array(lit("A"), lit("N"), lit("R")),
+          (lh(147, 3) + 1).cast("int")).as("l_returnflag"),
+        element_at(array(lit("F"), lit("O")),
+          (lh(148, 2) + 1).cast("int")).as("l_linestatus"),
+        (col("o_orderdate").cast(LongType)
+          + (lh(149, 95) + 1) * 86400L).cast(TimestampType)
+          .cast(TimestampNTZType).as("l_shipdate")), "lineitem")
+
+    save(spark.range(nEvt).select(
+      col("id").as("event_id"),
+      (lit("2024-01-01").cast(TimestampType).cast("double")
+        + u(151) * 30 * 86400.0).cast(TimestampType).as("ts"),
+      h(152, math.max(15, (15000 * sf).toLong)).as("user_id"),
+      pick(153, "click", "error", "purchase", "signup", "view")
+        .as("event_type"),
+      round(lit(-50.0) * log(lit(1.0) - u(154) + 1e-9), 2).as("value"),
+      format_string("{\"k\": %d}", h(155, 100)).as("props")), "events")
+
+    // documents: hash-chosen words; ~5% near-dups (an earlier doc plus
+    // a trailing " dup"), ~0.17% exact copies — the observed structure
+    // the dedup family hunts for
+    val base = spark.range(nDoc).select(col("id"),
+      array_join(transform(sequence(lit(1), (h(161, 91) + 10).cast("int")),
+        j => element_at(typedLit(Vocab),
+          (pmod(xxhash64(col("id"), j, lit(162)), lit(30)) + 1)
+            .cast("int"))), " ").as("base_text"))
+    val withSrc = base
+      .withColumn("__neardup", col("id") >= 20 && h(163, 20) === 0)
+      .withColumn("__exactdup",
+        col("id") >= 20 && h(163, 20) =!= 0 && h(164, 600) === 0)
+      .withColumn("__src",
+        when(col("__neardup") || col("__exactdup"), h(165, 1000000L)
+          % col("id")).otherwise(lit(null).cast(LongType)))
+    val docs = withSrc.as("d")
+      .join(base.select(col("id").as("__src"),
+        col("base_text").as("__src_text")).as("s"), Seq("__src"), "left")
+      .select(col("id").as("doc_id"),
+        when(col("__neardup"), concat(col("__src_text"), lit(" dup")))
+          .when(col("__exactdup"), col("__src_text"))
+          .otherwise(col("base_text")).as("text"),
+        when(h(166, 100) < 41, "en").when(h(166, 100) < 56, "de")
+          .when(h(166, 100) < 71, "es").when(h(166, 100) < 86, "fr")
+          .otherwise("zh").as("lang"),
+        concat(lit("src"), h(167, 20)).as("source"))
+      .withColumn("n_chars", length(col("text")).cast(LongType))
+    save(docs, "documents")
+
+    val raw = transform(sequence(lit(0), lit(63)),
+      j => pmod(xxhash64(col("id"), j, lit(171)), lit(1000000L))
+        .cast(DoubleType) / 1000000.0 - 0.5)
+    save(spark.range(nEmb)
+      .select(col("id").as("vec_id"), raw.as("__raw"),
+        h(172, 10).cast(IntegerType).as("label"))
+      .withColumn("__norm", sqrt(aggregate(col("__raw"),
+        lit(0.0), (acc, x) => acc + x * x)))
+      .select(col("vec_id"),
+        transform(col("__raw"), x => (x / col("__norm"))
+          .cast(FloatType)).as("embedding"),
+        col("label")), "embeddings")
+  }
+}

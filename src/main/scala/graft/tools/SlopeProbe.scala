@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Sessions
+
+/** Scaling-slope probe for the graph-projection family: computes the
+  * co-occurrence edge count and the PREDICTED wedge count
+  * (Σ d·(d−1)/2 over the oriented degree table) at a given scale
+  * factor WITHOUT executing the wedge join — on the synthetic uniform
+  * bipartite data the projection is dense at every sf (shared-customer
+  * weight λ = nCust·(degC/nSupp)² is scale-free), so edges grow ~n²
+  * and wedges ~n³ with the supplier count. The probe quantifies that
+  * regime cheaply; executing the wedge stream at sf ≥ 1 would be the
+  * blowup itself. See SURVEY §5 (scaling slope) for the recorded
+  * numbers and the 100 TB reading.
+  *
+  * Usage: `runMain graft.tools.SlopeProbe <sfDir>`.
+  */
+object SlopeProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.tuned(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.ui.enabled", "false"), cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val cs = graft.io.Tables.table(spark, sfDir, "orders")
+      .join(graft.io.Tables.table(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"))
+    val edges = graft.ops.Graph.coOccurrenceEdges(
+      cs, "o_custkey", "l_suppkey", meanFactor = 1.08, maxDeg = 500L)
+      .persist()
+    val nEdges = edges.count()
+    val predictedWedges = edges.groupBy("lo")
+      .agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
+        .cast("long"))
+      .head().getLong(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    // Same analytic treatment for the exact n-gram Jaccard family:
+    // candidate pairs = Σ_s C(df_s, 2) over the (maxDf-filtered)
+    // shingle document frequencies — one aggregate, no join. On the
+    // closed 30-word vocabulary the shingle space saturates, so df
+    // grows ~linearly with the corpus and the pair space ~n².
+    val df = graft.text.Dedup.shingleSets(
+        graft.io.Tables.table(spark, sfDir, "documents"),
+        "text", "doc_id", n = 3)
+      .select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 10000L)
+    val ngram = df.agg(
+        coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0L))
+          .cast("long").as("pairs"),
+        count(lit(1)).as("shingles"),
+        max(col("df")).as("max_df"))
+      .head()
+    println(s"""{"sf":"$sfDir","n_edges":$nEdges,""" +
+      s""""predicted_wedges":$predictedWedges,"edge_build_sec":$sec,""" +
+      s""""ngram_candidate_pairs":${ngram.getLong(0)},""" +
+      s""""ngram_distinct_shingles":${ngram.getLong(1)},""" +
+      s""""ngram_max_df":${ngram.getLong(2)}}""")
+    spark.stop()
+  }
+}
