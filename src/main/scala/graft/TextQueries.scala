@@ -44,6 +44,38 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("word"))
     },
 
+    // -- BPE merge-candidate statistics (q_bpe_pairs) -------------------
+    // Tokenizer-training support: corpus-weighted adjacent character-
+    // pair counts, the statistic every BPE merge step maximizes. Done
+    // the way a 100 TB trainer must: ONE aggregation over the corpus
+    // collapses it to the word-frequency table (vocabulary-sized), and
+    // the bigram explode runs over the vocabulary — never the corpus.
+    // Iterative merge training on top of this table: text/Bpe.
+    QuerySpec.sql("q_bpe_pairs")(
+      """WITH wf AS (
+        |  SELECT word, count(*) AS wf
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY word),
+        |p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, wf
+        |      FROM (SELECT word, wf,
+        |              unnest(generate_series(1, length(word) - 1)) AS i
+        |            FROM wf))
+        |SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      Q.t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("wf"))
+        .select(col("wf"), explode(expr(
+          "transform(sequence(1, length(word) - 1)," +
+            " i -> substring(word, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum(col("wf")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    },
+
     // -- per-doc token budgeting: whitespace + BPE-ish regex counts -----
     // (LLM-corpus sizing; the GPT-2-style pre-tokenizer subset behaves
     // identically under Java regex and RE2, so counts oracle-match)
