@@ -92,10 +92,10 @@ object GenData {
 
     save(spark.range(nPart).select(
       col("id").as("p_partkey"),
-      concat(pick(121, "large", "hot", "blue", "green", "small", "red",
-          "dim", "cold"), lit(" "),
-        pick(122, "ring", "bolt", "nut", "gear", "cog", "pin", "rod",
-          "cap")).as("p_name"),
+      concat(pick(121, "large", "hot", "blue", "new", "small", "red",
+          "old", "cold"), lit(" "),
+        pick(122, "ring", "bolt", "anvil", "gear", "gizmo", "plate",
+          "rod", "widget")).as("p_name"),
       concat(lit("Brand#"), h(123, 25) + 1).as("p_brand"),
       pick(124, "STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY",
         "PROMO").as("p_type"),

@@ -68,6 +68,35 @@ class GenDataSpec extends SparkSpec {
     assert(ref.filter($"text".endsWith(" dup")).count() > 0)
   }
 
+  test("dictionary-column domains equal the driver testdata's") {
+    // through Tables.table — the raw driver events.ts is TIMESTAMP(NANOS)
+    // which plain spark.read.parquet rejects
+    def domain(dir: String, table: String, expr: String): Set[String] =
+      graft.io.Tables.table(spark, dir, table)
+        .selectExpr(s"$expr AS v").distinct()
+        .collect().map(_.getString(0)).toSet
+    val checks = Seq(
+      ("part", "split(p_name, ' ')[0]"),
+      ("part", "split(p_name, ' ')[1]"),
+      ("part", "p_type"),
+      ("customer", "c_mktsegment"),
+      ("orders", "o_orderstatus"),
+      ("orders", "o_orderpriority"),
+      ("events", "event_type"),
+      ("documents", "lang"))
+    for ((table, expr) <- checks)
+      assert(domain(dir, table, expr) == domain(RefDir, table, expr),
+        s"domain mismatch: $table / $expr")
+    // document vocabulary: identical 30 words (modulo the "dup" marker)
+    val vocab = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .distinct().collect().map(_.getString(0)).toSet - "dup"
+    val refVocab = spark.read.parquet(s"$RefDir/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .distinct().collect().map(_.getString(0)).toSet - "dup"
+    assert(vocab == refVocab)
+  }
+
   test("embeddings are unit-normalized dim-64 float vectors") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val bad = emb.select(
