@@ -497,6 +497,11 @@ object RelationalQueries {
       Seq("part", "supplier", "lineitem", "nation")
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql(RelationalQueries.SqlTextQuery7)
+    },
+    sql("q_sql_text8")(RelationalQueries.SqlTextQuery8) { (s, dir) =>
+      Seq("customer", "orders")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(RelationalQueries.SqlTextQuery8)
     }
   )
 
@@ -652,4 +657,22 @@ object RelationalQueries {
       |        FROM lineitem l2
       |        WHERE l2.l_partkey = l1.l_partkey))
       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q13 shape, dialect-neutral: customer order-count
+    * distribution — LEFT OUTER join with an extra join-side predicate
+    * (kept in the ON clause, where it does NOT filter preserved rows),
+    * then a double aggregation (count per customer, histogram of the
+    * counts). Zero-order customers must survive with c_count = 0.
+    */
+  val SqlTextQuery8: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer
+      |  LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '4-NOT SPECIFIED'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
 }
