@@ -1,5 +1,7 @@
 package graft.tools
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -62,8 +64,30 @@ object GenData {
     val nDoc = math.max(500, (50000 * sf).toLong)
     val nEmb = math.max(500, (20000 * sf).toLong)
 
-    def save(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    // Single-FILE layout like the driver testdata (`<table>.parquet` is
+    // a file, not a Spark output directory) so DuckDB-side tooling
+    // (tools/compare.py, ad-hoc oracles) reads both identically:
+    // repartition(1) keeps generation parallel upstream of one write
+    // task, then the lone part file is moved into place.
+    def save(df: DataFrame, name: String): Unit = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val tmp = s"$outDir/.tmp_$name"
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for $name"))
+      Files.createDirectories(Paths.get(outDir))
+      val target = Paths.get(s"$outDir/$name.parquet")
+      // the target may exist as a directory from an older layout —
+      // REPLACE_EXISTING cannot replace a non-empty dir, so clear it
+      if (Files.isDirectory(target))
+        Files.walk(target).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      // remove the now-empty staging dir (crc/_SUCCESS leftovers)
+      Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
 
     save(spark.range(5).select(col("id").cast(IntegerType)
         .as("r_regionkey"),
