@@ -347,6 +347,21 @@ object Similarity {
     * smaller buckets; pathological buckets split under AQE skew-join
     * (enabled in [[graft.Sessions]]).
     */
+  /** Size `bits` to the corpus: bucket occupancy is ~n/2^bits and the
+    * join does occupancy² work per bucket, so FIXED bits turns the
+    * bucket join quadratic as n grows (measured: the registered bits=6
+    * query grew 7.2× for 3× rows at sf1→sf3). Holding occupancy at
+    * `targetOccupancy` keeps per-bucket work — and with it total cost
+    * ~n·occupancy — linear in n; recall at the same minCosine drops as
+    * buckets shrink, which multi-probe (see [[multiProbeTopK]]) buys
+    * back. The registered `q_embed_pairs_lsh` pins bits=6 only because
+    * its DuckDB oracle mirrors the bucket expression literally.
+    */
+  def bitsFor(n: Long, targetOccupancy: Int = 256): Int =
+    math.min(62, math.max(1,
+      63 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, n / math.max(1, targetOccupancy)))))
+
   def bucketedPairs(df: DataFrame, idCol: String, vecCol: String,
                     minCosine: Double, bits: Int,
                     dim: Int): DataFrame = {

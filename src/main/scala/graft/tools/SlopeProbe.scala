@@ -27,6 +27,29 @@ object SlopeProbe {
         .config("spark.ui.enabled", "false"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // `<sfDir> lsh [bits]` — time the LSH pair join at a given bucket
+    // width (default: bitsFor(n), the occupancy-held sizing) to show
+    // scaled bits restore linear growth where the oracle-pinned bits=6
+    // query goes quadratic (see Similarity.bitsFor).
+    if (args.length > 1 && args(1) == "lsh") {
+      val emb = graft.io.Tables.table(spark, sfDir, "embeddings")
+      val n = emb.count()
+      val bits = if (args.length > 2) args(2).toInt
+        else graft.text.Similarity.bitsFor(n)
+      def timePairs(b: Int): (Long, Double) = {
+        val t = System.nanoTime()
+        val rows = graft.text.Similarity.bucketedPairs(
+          emb, "vec_id", "embedding", minCosine = 0.3,
+          bits = b, dim = 64).count()
+        (rows, (System.nanoTime() - t) / 1e9)
+      }
+      timePairs(bits) // warm codegen
+      val (rows, sec) = timePairs(bits)
+      println(s"""{"sf":"$sfDir","mode":"lsh","n":$n,"bits":$bits,""" +
+        s""""pairs":$rows,"sec":$sec}""")
+      spark.stop()
+      return
+    }
     val t0 = System.nanoTime()
     val cs = graft.io.Tables.table(spark, sfDir, "orders")
       .join(graft.io.Tables.table(spark, sfDir, "lineitem"),

@@ -144,6 +144,14 @@ object GraftProps extends Properties("graft") {
       banded == quadratic
     }
 
+  property("bitsFor holds LSH bucket occupancy in [target, 2*target)") =
+    Prop.forAll(Gen.chooseNum(512L, 1000000000000L)) { n =>
+      val bits = graft.text.Similarity.bitsFor(n)
+      val occ = n.toDouble / (1L << bits)
+      bits >= 1 && bits <= 62 &&
+        (bits == 62 || (occ >= 256.0 && occ < 512.0))
+    }
+
   property("quantized cosine is in [-1, 1] and symmetric") =
     Prop.forAll(Gen.listOfN(6,
       Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0)))) { vecs =>
