@@ -659,6 +659,23 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // -- adaptive-width sign-LSH pairs (q_embed_pairs_lsh_auto) ---------
+    // The production form of q_embed_pairs_lsh: bucket bits sized by
+    // Similarity.bitsFor(n) so occupancy — and with it join cost per
+    // row — stays constant as the corpus grows (fixed bits measured
+    // 7.2x for 3x rows at sf1->sf3; occupancy-matched bits 3.1x).
+    // Rows-only: the adaptive bucket expression depends on a runtime
+    // count the literal SQL oracle cannot mirror; LshAutoSpec pins
+    // precision (reported cosines are exact) and recall vs the exact
+    // pair set.
+    QuerySpec.rowsOnly("q_embed_pairs_lsh_auto") { (s, dir) =>
+      val emb = Q.t(s, dir, "embeddings")
+      Similarity.bucketedPairs(emb, "vec_id", "embedding",
+          minCosine = 0.3, bits = Similarity.bitsFor(emb.count()),
+          dim = 64)
+        .orderBy("id_a", "id_b")
+    },
+
     // -- sign-LSH bucketed ANN top-k (q_similarity_bucketed) ------------
     QuerySpec.sql("q_similarity_bucketed")(
       """WITH v AS (SELECT vec_id, embedding, list_transform(embedding,

@@ -51,7 +51,10 @@ class ScaleGuardSpec extends SparkSpec {
     "q_media_meta", "q_media_features", "q_media_similarity",
     "q_frame_sample", "q_quantile_bin", "q_heavy_hitters",
     "q_pq_encode", "q_pq_adc", "q_kmeans_step", "q_logreg_step",
-    "q_embed_centroids", "q_pipeline_e2e", "q_histogram")
+    "q_embed_centroids", "q_pipeline_e2e", "q_histogram",
+    // one COUNT aggregate sizes the adaptive LSH bucket width
+    // (Similarity.bitsFor) — a 1-scalar sizing pass, never a collect
+    "q_embed_pairs_lsh_auto")
 
   test("no query construction runs a driver-side action unless it is a " +
     "declared memoized builder (the round-3 collect scale-killer class)") {
