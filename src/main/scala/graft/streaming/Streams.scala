@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  ListState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode,
-  TimerValues, Trigger, TTLConfig, ValueState}
+  ListState, MapState, OutputMode, StatefulProcessor, StreamingQuery,
+  TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** Structured-Streaming surface mirroring the reference's feedback loop
   * (SURVEY.md A20-A22): Pub/Sub topics → streaming sources; the logger
@@ -208,6 +208,84 @@ object Streams {
     events.groupByKey(_._1)
       .transformWithState(new RollingStatsProcessor(windowSec),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  final case class HeavyHitter(part: Int, term: String, est: Long,
+                               np: Long)
+
+  /** Streaming heavy hitters — the incremental twin of the batch
+    * `q_heavy_hitters` count-min sketch, as a Misra-Gries summary per
+    * hash partition of the term space (the mergeable-summaries
+    * formulation: each partition owns a disjoint slice of the terms, so
+    * per-partition guarantees ARE global guarantees for the terms that
+    * hash there).
+    *
+    * State per partition is a MapState of at most `k` counters plus one
+    * processed-count long — fixed memory regardless of stream length,
+    * the property that makes this run forever on an unbounded feed.
+    * Deterministic guarantees (pinned in StreamsSpec, not probabilistic
+    * like CMS): for every surviving counter,
+    * `est <= true <= est + np/(k+1)` where np is the partition's
+    * processed count; and every term with `true > np/(k+1)` is present.
+    *
+    * Each micro-batch emits the partition's full (small, <= k-entry)
+    * snapshot in Update mode, stamped with np so a reader can keep the
+    * latest snapshot per partition (np is monotone). The decrement-all
+    * step is O(k) amortized against the k increments that preceded it;
+    * at 100 TB the stream is hash-partitioned across executors and
+    * each summary is k counters — no shuffle beyond the one groupBy,
+    * no state growth, no driver participation.
+    */
+  class HeavyHittersProcessor(k: Int)
+      extends StatefulProcessor[Int, (Int, String), HeavyHitter] {
+    @transient private var counters: MapState[String, Long] = _
+    @transient private var processed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counters = getHandle.getMapState(
+        "counters", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      processed = getHandle.getValueState(
+        "np", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Int,
+        rows: Iterator[(Int, String)],
+        timerValues: TimerValues): Iterator[HeavyHitter] = {
+      // state map has <= k entries; process the batch in-heap, one
+      // state read + one write per micro-batch instead of per row
+      val acc = scala.collection.mutable.HashMap.empty[String, Long]
+      counters.iterator().foreach { case (t, c) => acc(t) = c }
+      var np = if (processed.exists()) processed.get() else 0L
+      rows.foreach { case (_, term) =>
+        np += 1
+        acc.get(term) match {
+          case Some(c) => acc(term) = c + 1
+          case None if acc.size < k => acc(term) = 1L
+          case None => // Misra-Gries decrement-all; zeros evict
+            acc.keys.toArray.foreach { t =>
+              val c = acc(t) - 1
+              if (c == 0) acc.remove(t) else acc(t) = c
+            }
+        }
+      }
+      counters.clear()
+      acc.foreach { case (t, c) => counters.updateValue(t, c) }
+      processed.update(np)
+      acc.iterator.map { case (t, c) => HeavyHitter(key, t, c, np) }
+    }
+  }
+
+  /** `terms` hash-partitioned into `partitions` Misra-Gries summaries of
+    * `k` counters each; Update-mode snapshots per micro-batch.
+    */
+  def heavyHittersTws(terms: Dataset[String], k: Int,
+                      partitions: Int): Dataset[HeavyHitter] = {
+    import terms.sparkSession.implicits._
+    terms
+      .map(t => (math.floorMod(t.hashCode, partitions), t))
+      .groupByKey(_._1)
+      .transformWithState(new HeavyHittersProcessor(k), TimeMode.None(),
+        OutputMode.Update())
   }
 
   final case class SessionAcc(startMs: Long, endMs: Long, n: Long)

@@ -186,6 +186,61 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHittersTws: Misra-Gries deterministic guarantees hold vs " +
+    "exact counts on the replayed sf0.001 token stream") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    implicit val sqlCtx = s2.sqlContext
+    import s2.implicits._
+    val k = 32
+    val parts = 4
+
+    val toks = graft.io.Tables.table(s2, "/root/testdata/sf0.001",
+        "documents")
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+      .as[String].collect()
+    val exact = toks.groupBy(identity).view.mapValues(_.length.toLong)
+    val npByPart = toks.groupBy(t => math.floorMod(t.hashCode, parts))
+      .view.mapValues(_.length.toLong).toMap
+
+    val in = MemoryStream[String]
+    val q = Streams.heavyHittersTws(in.toDS(), k = k, partitions = parts)
+      .writeStream.format("memory").queryName("hhtws")
+      .outputMode("update").start()
+    try {
+      toks.grouped(math.max(1, toks.length / 3 + 1))
+        .foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      // latest snapshot per partition: np is monotone per key
+      val all = s2.table("hhtws")
+        .as[(Int, String, Long, Long)].collect()
+      val maxNp = all.groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+      val sketch = all.filter(r => r._4 == maxNp(r._1))
+      assert(sketch.nonEmpty && sketch.length <= k * parts)
+      // partition totals in state match the exact token partitioning
+      assert(maxNp == npByPart)
+      sketch.foreach { case (p, t, est, np) =>
+        val tru = exact(t)
+        assert(est <= tru, s"$t overestimated: $est > $tru")
+        assert(tru - est <= np / (k + 1),
+          s"$t error ${tru - est} > ${np / (k + 1)} (np=$np)")
+        assert(math.floorMod(t.hashCode, parts) == p)
+      }
+      // completeness: every term heavier than its partition's bound
+      // must have survived in that partition's summary
+      val kept = sketch.map(_._2).toSet
+      val mustKeep = exact.filter { case (t, c) =>
+        c > npByPart(math.floorMod(t.hashCode, parts)) / (k + 1)
+      }.keys
+      val missing = mustKeep.filterNot(kept)
+      assert(missing.isEmpty,
+        s"guaranteed heavy hitters missing: ${missing.take(5)}")
+      // the fixture actually exercises the guarantee (has heavy terms)
+      assert(mustKeep.nonEmpty, "fixture degenerated: no heavy hitters")
+    } finally q.stop()
+  }
+
   test("statefulSessions emits a closed session once the watermark " +
     "passes last-event + gap") {
     implicit val sqlCtx = spark.sqlContext
