@@ -855,6 +855,46 @@ object TextQueries {
         .orderBy(col("true_cnt").desc, col("term"))
     },
 
+    // -- md5 twin of the count-min sketch: identical plan shape
+    // (explode depth rows → cell groupBy → broadcast min-estimate),
+    // cross-engine hash (Spark conv(hex,16,10) ≡ DuckDB
+    // CAST('0x'||hex AS BIGINT)) so every sketch CELL and estimate is
+    // oracle-checked, the proof the xxhash64 production form's
+    // pipeline is correct end-to-end -----------------------------------
+    QuerySpec.sql("q_heavy_hitters_md5")(
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term
+        |              FROM documents),
+        |rws AS (SELECT unnest(range(0, 4)) AS r),
+        |sketch AS (
+        |  SELECT r, CAST(('0x' || substr(md5(concat(CAST(r AS VARCHAR),
+        |           '|', term)), 1, 15)) AS BIGINT) % 1024 AS bucket,
+        |         count(*) AS cnt
+        |  FROM toks CROSS JOIN rws GROUP BY 1, 2),
+        |top AS (SELECT term, count(*) AS true_cnt FROM toks
+        |        GROUP BY 1 ORDER BY true_cnt DESC, term LIMIT 20),
+        |est AS (
+        |  SELECT tp.term, tp.true_cnt, min(coalesce(s.cnt, 0)) AS cms_est
+        |  FROM top tp CROSS JOIN rws r
+        |  LEFT JOIN sketch s ON s.r = r.r AND s.bucket =
+        |    CAST(('0x' || substr(md5(concat(CAST(r.r AS VARCHAR), '|',
+        |      tp.term)), 1, 15)) AS BIGINT) % 1024
+        |  GROUP BY 1, 2)
+        |SELECT term, true_cnt, cms_est FROM est
+        |ORDER BY true_cnt DESC, term""".stripMargin) { (s, dir) =>
+      val toks = Q.t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .persist()
+      val sketch = Sketches.cmsBuild(toks, "term", depth = 4,
+        width = 1024, hash = Sketches.md5BucketHash)
+      val top = toks.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("term")).limit(20)
+      Sketches.cmsEstimate(sketch, top.select("term"), "term",
+          depth = 4, width = 1024, hash = Sketches.md5BucketHash)
+        .join(top, "term")
+        .select(col("term"), col("true_cnt"), col("cms_est"))
+        .orderBy(col("true_cnt").desc, col("term"))
+    },
+
     // -- per-doc repetition metrics (Gopher-style quality signals):
     // duplicate-bigram ratio + most-frequent-bigram fraction. All
     // integer counts; the two ratios are single IEEE divisions.
