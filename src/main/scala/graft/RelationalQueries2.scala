@@ -345,6 +345,75 @@ object RelationalQueries2 {
         .orderBy("l_returnflag")
     },
 
+    // Hand-rolled HyperLogLog with a fully cross-engine computation —
+    // the oracle-checked twin of q_hll_sketch. All sketch state is
+    // integer-exact: md5-derived 60-bit hash, register = low 6 bits,
+    // rank = leading-zero count via length(bin(w)) (string bit-length,
+    // no libm), harmonic sum scaled by 2^55 so every register
+    // contributes an exact BIGINT (max 64 * 2^55 = 2^61, no overflow;
+    // DuckDB's HUGEINT sum is cast back). The one floating-point step
+    // is the final alpha*m^2*2^55/S expression — identical IEEE ops
+    // over identical operands on both engines. Plan shape: two
+    // hash aggregations (row -> register, register -> group), i.e. the
+    // mergeable-sketch shape where the shuffle carries at most
+    // m=64 cells per group, never rows.
+    sql("q_hll_md5")(
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(('0x' || substr(md5(concat('h|',
+        |      CAST(l_partkey AS VARCHAR))), 1, 15)) AS BIGINT) % 64
+        |      AS reg,
+        |    CAST(('0x' || substr(md5(concat('h|',
+        |      CAST(l_partkey AS VARCHAR))), 1, 15)) AS BIGINT) // 64
+        |      AS w
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, reg,
+        |        max(CASE WHEN w = 0 THEN 55
+        |                 ELSE 55 - length(bin(w)) END) AS mr
+        |      FROM b GROUP BY 1, 2),
+        |agg AS (SELECT l_returnflag,
+        |          count(*) AS regs_used,
+        |          CAST(sum(CAST(1 AS BIGINT) << CAST(55 - mr AS INT))
+        |            AS BIGINT) AS s_used
+        |        FROM r GROUP BY 1),
+        |ex AS (SELECT l_returnflag,
+        |         count(DISTINCT l_partkey) AS exact_parts
+        |       FROM lineitem GROUP BY 1)
+        |SELECT a.l_returnflag, e.exact_parts, a.regs_used,
+        |  a.s_used + (64 - a.regs_used) * 36028797018963968
+        |    AS harmonic_s,
+        |  ((CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE))
+        |    * CAST(36028797018963968.0 AS DOUBLE))
+        |    / CAST(a.s_used + (64 - a.regs_used) * 36028797018963968
+        |           AS DOUBLE) AS hll_est
+        |FROM agg a JOIN ex e USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val h = expr("CAST(conv(substr(md5(concat('h|', " +
+        "CAST(l_partkey AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+      val regs = li
+        .select(col("l_returnflag"), (h % 64).as("reg"),
+          shiftrightunsigned(h, 6).as("w"))
+        .groupBy("l_returnflag", "reg")
+        .agg(max(when(col("w") === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("w"))).cast("long")))
+          .as("mr"))
+      val agg = regs.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("regs_used"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mr AS INT))"))
+            .as("s_used"))
+        .withColumn("harmonic_s", col("s_used") +
+          (lit(64L) - col("regs_used")) * lit(36028797018963968L))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      agg.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_parts"),
+          col("regs_used"), col("harmonic_s"),
+          ((lit(0.709) * lit(4096.0) * lit(36028797018963968.0))
+            / col("harmonic_s").cast("double")).as("hll_est"))
+        .orderBy("l_returnflag")
+    },
+
     // One-pass per-column profiling (non-null + exact distinct counts).
     sql("q_profile")(
       """SELECT 'event_type' AS col_name, count(event_type) AS n_nonnull,

@@ -30,6 +30,21 @@ class SketchBoundsSpec extends SparkSpec {
     }
   }
 
+  test("q_hll_md5: the hand-rolled cross-engine HLL estimate lands " +
+    "within 3 standard errors (1.04/sqrt(64)) of the exact count") {
+    val rows = Queries.queries("q_hll_md5")(spark, dir)
+      .select("l_returnflag", "exact_parts", "hll_est")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ex = r.getLong(1)
+      val est = r.getDouble(2)
+      val relErr = math.abs(est - ex) / ex
+      assert(relErr <= 3 * 1.04 / 8,
+        s"group ${r.getString(0)}: est=$est exact=$ex relErr=$relErr")
+    }
+  }
+
   test("q_quantiles_approx: each sketch quantile lands within the " +
     "declared rank-error bound of the exact order statistics") {
     val approx = Queries.queries("q_quantiles_approx")(spark, dir)
