@@ -204,8 +204,12 @@ final class FeatureStore(spark: SparkSession, root: String) {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) =>
-          pointInTimeBucketed(table, batch, entityIdCol, asOfTsCol,
-              featureCols)
+          // Resolve the feature table via the micro-batch's own session
+          // (the documented foreachBatch pattern) so catalog/config
+          // state can't diverge from the outer session's.
+          Relational.asofJoinIntervalized(batch,
+              batch.sparkSession.table(table), entityIdCol, asOfTsCol,
+              "feature_ts", featureCols)
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
       .start()

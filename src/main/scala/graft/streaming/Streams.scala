@@ -125,8 +125,13 @@ object Streams {
                           ttl: Option[java.time.Duration] = None)
       : Dataset[UserStats] = {
     import events.sparkSession.implicits._
+    // State TTL is only legal under ProcessingTime time mode — pick the
+    // mode from the ttl argument so a TTL caller doesn't hit the
+    // analysis error TTL-with-NoTime raises.
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime()
+               else TimeMode.None()
     events.groupByKey(_._1)
-      .transformWithState(new UserStatsProcessor(ttl), TimeMode.None(),
+      .transformWithState(new UserStatsProcessor(ttl), mode,
         OutputMode.Update())
   }
 
@@ -154,7 +159,8 @@ object Streams {
     * mean/std expressions are the identical IEEE tree the batch query
     * evaluates, so outputs are bit-equal to the window-function result.
     */
-  class RollingStatsProcessor(windowSec: Long)
+  class RollingStatsProcessor(windowSec: Long,
+                              ttl: Option[java.time.Duration] = None)
       extends StatefulProcessor[Long, (Long, Long, Long, Long),
         RollingStat] {
     // input rows: (user_id, event_id, ts_s, x_cents)
@@ -164,7 +170,7 @@ object Streams {
       buf = getHandle.getListState(
         "buf",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
-        TTLConfig.NONE)
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(key: Long,
         rows: Iterator[(Long, Long, Long, Long)],
@@ -202,12 +208,21 @@ object Streams {
     }
   }
 
+  /** Pass `ttl` (e.g. a few multiples of `windowSec`) on an unbounded
+    * keyspace so a key that stops receiving events has its trailing
+    * buffer dropped by the store instead of retained forever — frame
+    * eviction otherwise only runs when that key sees a new event.
+    */
   def rollingStatsTws(events: Dataset[(Long, Long, Long, Long)],
-                      windowSec: Long): Dataset[RollingStat] = {
+                      windowSec: Long,
+                      ttl: Option[java.time.Duration] = None)
+      : Dataset[RollingStat] = {
     import events.sparkSession.implicits._
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime()
+               else TimeMode.None()
     events.groupByKey(_._1)
-      .transformWithState(new RollingStatsProcessor(windowSec),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new RollingStatsProcessor(windowSec, ttl),
+        mode, OutputMode.Append())
   }
 
   final case class HeavyHitter(part: Int, term: String, est: Long,

@@ -337,16 +337,6 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** Approximate near-dup pairs via sign-LSH: only pairs colliding in
-    * the same bucket are scored. Fully distributed — ONE shuffle
-    * co-partitions both sides of a bucket-key self-equi-join, the
-    * `id_b > id_a` half-space prunes mirror pairs inside the join, and
-    * the cosine is a codegen'd unrolled expression over the joined row
-    * (never a join condition, never a driver collect). At 100 TB this
-    * scales with the largest bucket, not the corpus: more `bits` →
-    * smaller buckets; pathological buckets split under AQE skew-join
-    * (enabled in [[graft.Sessions]]).
-    */
   /** Size `bits` to the corpus: bucket occupancy is ~n/2^bits and the
     * join does occupancy² work per bucket, so FIXED bits turns the
     * bucket join quadratic as n grows (measured: the registered bits=6
@@ -362,6 +352,16 @@ object Similarity {
       63 - java.lang.Long.numberOfLeadingZeros(
         math.max(1L, n / math.max(1, targetOccupancy)))))
 
+  /** Approximate near-dup pairs via sign-LSH: only pairs colliding in
+    * the same bucket are scored. Fully distributed — ONE shuffle
+    * co-partitions both sides of a bucket-key self-equi-join, the
+    * `id_b > id_a` half-space prunes mirror pairs inside the join, and
+    * the cosine is a codegen'd unrolled expression over the joined row
+    * (never a join condition, never a driver collect). At 100 TB this
+    * scales with the largest bucket, not the corpus: more `bits` →
+    * smaller buckets (size via [[bitsFor]]); pathological buckets split
+    * under AQE skew-join (enabled in [[graft.Sessions]]).
+    */
   def bucketedPairs(df: DataFrame, idCol: String, vecCol: String,
                     minCosine: Double, bits: Int,
                     dim: Int): DataFrame = {

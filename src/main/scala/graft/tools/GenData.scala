@@ -70,23 +70,29 @@ object GenData {
     // repartition(1) keeps generation parallel upstream of one write
     // task, then the lone part file is moved into place.
     def save(df: DataFrame, name: String): Unit = {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+      import scala.util.Using
+      // Files.list/walk hold a directory fd until closed — scope each
+      // stream with Using so the tool doesn't leak one per table.
+      def listFiles(dir: Path): Seq[Path] =
+        Using.resource(Files.list(dir))(_.iterator().asScala.toSeq)
+      def deleteTree(dir: Path): Unit =
+        Using.resource(Files.walk(dir))(
+          _.iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p)))
       val tmp = s"$outDir/.tmp_$name"
       df.repartition(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).iterator().asScala
+      val part = listFiles(Paths.get(tmp))
         .find(_.getFileName.toString.endsWith(".parquet"))
         .getOrElse(sys.error(s"no part file written for $name"))
       Files.createDirectories(Paths.get(outDir))
       val target = Paths.get(s"$outDir/$name.parquet")
       // the target may exist as a directory from an older layout —
       // REPLACE_EXISTING cannot replace a non-empty dir, so clear it
-      if (Files.isDirectory(target))
-        Files.walk(target).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
+      if (Files.isDirectory(target)) deleteTree(target)
       Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
       // remove the now-empty staging dir (crc/_SUCCESS leftovers)
-      Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
+      deleteTree(Paths.get(tmp))
     }
 
     save(spark.range(5).select(col("id").cast(IntegerType)

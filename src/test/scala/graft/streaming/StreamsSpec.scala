@@ -123,6 +123,58 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL'd transformWithState variants run under ProcessingTime " +
+    "time mode and match the no-TTL results within the TTL horizon") {
+    // TTL is only legal under ProcessingTime time mode; a generous TTL
+    // proves the mode-selection plumbing end-to-end without racing the
+    // clock (state outlives the test, results must be identical).
+    // NOTE: under ProcessingTime mode the engine keeps scheduling
+    // TTL-maintenance batches, so neither processAllAvailable nor
+    // Trigger.AvailableNow ever settles — that's inherent to how TTL
+    // cleanup runs. Poll the sink for the expected rows, then stop.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    implicit val sqlCtx = s2.sqlContext
+    val ttl = Some(java.time.Duration.ofHours(1))
+    def pollUntil(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 120e9.toLong
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(200)
+      assert(cond, "sink did not reach expected state within 120 s")
+    }
+
+    val in = MemoryStream[(Long, Double)]
+    in.addData((1L, 1.0), (2L, 5.0), (1L, 3.0))
+    val q = Streams.runningUserStatsTws(in.toDS(), ttl)
+      .writeStream.format("memory").queryName("ustats_ttl")
+      .outputMode("update").start()
+    try {
+      def last = s2.table("ustats_ttl")
+        .groupBy("userId").agg(max("n").as("n"), max("sum").as("sum"))
+        .as[(Long, Long, Double)](
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaDouble))
+        .collect().toSet
+      pollUntil(last == Set((1L, 2L, 4.0), (2L, 1L, 5.0)))
+    } finally q.stop()
+
+    val in2 = MemoryStream[(Long, Long, Long, Long)]
+    in2.addData((1L, 10L, 100L, 200L), (1L, 11L, 105L, 400L),
+      (1L, 12L, 120L, 600L)) // last event: frame slid fully past
+    val q2 = Streams.rollingStatsTws(in2.toDS(), windowSec = 10L, ttl)
+      .writeStream.format("memory").queryName("roll_ttl")
+      .outputMode("append").start()
+    try {
+      def ns = s2.table("roll_ttl").orderBy("eventId")
+        .select("n").as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
+      pollUntil(ns == Seq(1L, 2L, 1L))
+    } finally q2.stop()
+  }
+
   test("rollingStatsTws replayed in time-ordered micro-batches equals " +
     "the batch q_rolling_stats RANGE frame bit-for-bit") {
     val s2 = spark.newSession()
