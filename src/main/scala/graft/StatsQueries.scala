@@ -57,6 +57,54 @@ object StatsQueries {
         .orderBy("l_returnflag")
     },
 
+    // The ORACLE-CHECKED quantile sketch twin (the q_hll_md5 move
+    // applied to quantiles): a grid-histogram inverse-CDF. Values are
+    // quantized to integer cents and binned at a fixed $100 width; the
+    // per-group histogram is an order-free, map-side-combinable partial
+    // aggregate (the shuffle carries ≤ domain/width bins, never rows —
+    // the same mergeable-summary shape as q_quantiles_approx's KLL),
+    // and the quantile is the first bin whose running count reaches
+    // ceil(p·n), computed in pure BIGINT on both engines. Rank error is
+    // deterministic — bounded by the bin width — rather than
+    // probabilistic, which is what makes it cross-engine exact.
+    sql("q_quantiles_hist")(
+      """WITH q AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) // 10000 AS bin
+        |  FROM lineitem),
+        |h AS (SELECT g, bin, count(*) AS c FROM q GROUP BY g, bin),
+        |cw AS (SELECT g, bin, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n
+        |  FROM h)
+        |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum >= (n*25+99)//100 THEN bin END) * 10000
+        |    AS q25_cents,
+        |  min(CASE WHEN cum >= (n*50+99)//100 THEN bin END) * 10000
+        |    AS q50_cents,
+        |  min(CASE WHEN cum >= (n*90+99)//100 THEN bin END) * 10000
+        |    AS q90_cents
+        |FROM cw GROUP BY g ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 10000")
+          .as("bin"))
+      val h = q.groupBy("g", "bin").agg(count(lit(1)).as("c"))
+      val cw = h
+        .withColumn("cum",
+          sum("c").over(Window.partitionBy("g").orderBy("bin")))
+        .withColumn("n", sum("c").over(Window.partitionBy("g")))
+      def qAt(pct: Int, out: String) =
+        (min(when(col("cum") >= expr(s"(n * $pct + 99) div 100"),
+          col("bin"))) * 10000).as(out)
+      cw.groupBy("g").agg(max("n").as("n"),
+          qAt(25, "q25_cents"), qAt(50, "q50_cents"),
+          qAt(90, "q90_cents"))
+        .withColumnRenamed("g", "l_returnflag")
+        .orderBy("l_returnflag")
+    },
+
     // Pearson correlation + OLS slope/intercept per group from exact
     // integer moments (x = quantity units, y = price cents): the five
     // sums are order-free and map-side combinable — ONE shuffle of 5

@@ -73,6 +73,34 @@ class SketchBoundsSpec extends SparkSpec {
     }
   }
 
+  test("q_quantiles_hist: the grid-histogram inverse-CDF quantile is " +
+    "the exact quantile rounded DOWN to its $100 bin edge") {
+    val hist = Queries.queries("q_quantiles_hist")(spark, dir)
+      .select("l_returnflag", "q25_cents", "q50_cents", "q90_cents")
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exactVals = Q.t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(hist.keySet == exactVals.keySet)
+    for {
+      (flag, qs) <- hist
+      (p, got) <- Seq(25, 50, 90).zip(qs)
+    } {
+      val sorted = exactVals(flag)
+      val n = sorted.length
+      // ceil(p*n/100) in exact integer arithmetic, 1-indexed rank
+      val exact = sorted(((n.toLong * p + 99) / 100 - 1).toInt)
+      // the estimate is the LOWER edge of the bin holding the exact
+      // order statistic: exact - width < est <= exact, est ≡ 0 (mod w)
+      assert(got % 10000 == 0, s"$flag p=$p: $got not a bin edge")
+      assert(got <= exact && exact - got < 10000,
+        s"group $flag p=$p: hist=$got exact=$exact")
+    }
+  }
+
   test("q_heavy_hitters: CMS never undercounts and overcount stays " +
     "under the eps*N sketch bound on the registered query's output") {
     val rows = Queries.queries("q_heavy_hitters")(spark, dir)
