@@ -93,7 +93,7 @@ object Bench {
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"n_queries":${results.size},"sf":"$sfDir","per_query":"bench_out.json"}""")
     System.out.flush()
   }
 }
