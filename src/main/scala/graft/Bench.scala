@@ -18,6 +18,7 @@ object Bench {
     // what we tell users to deploy.
     val spark = Sessions.tuned(SparkSession.builder()
         .master(s"local[$cpus]")
+        .config("spark.sql.warehouse.dir", Sessions.tempWarehouse())
         .config("spark.ui.enabled", "false"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -48,4 +48,23 @@ object Sessions {
       // on to rewrite only touched buckets.
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.session.timeZone", "UTC")
+
+  /** A per-JVM throwaway `spark.sql.warehouse.dir`, deleted on JVM
+    * exit. Harness mains (Verify/Bench) and the test session use this
+    * so managed tables (bucketed PIT memos, spec tables) never land in
+    * the repo's `spark-warehouse/`, where they outlive the catalog and
+    * wedge later runs with LOCATION_ALREADY_EXISTS or pile up on disk.
+    */
+  def tempWarehouse(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warehouse")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir.toUri.toString
+  }
 }

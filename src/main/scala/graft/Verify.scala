@@ -15,6 +15,7 @@ object Verify {
     // are partitioning-independent (deterministic ORDER BY, hash gates).
     val spark = Sessions.tuned(SparkSession.builder()
         .master(s"local[$cpus]")
+        .config("spark.sql.warehouse.dir", Sessions.tempWarehouse())
         .config("spark.ui.enabled", "false"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -16,11 +16,23 @@ object Bucketing {
     * (e.g. 4096 buckets for a 1000-executor cluster).
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    // Self-healing across JVMs: a previous run's warehouse directory
+    // can outlive its in-memory catalog entry (the catalog dies with
+    // the JVM, the directory does not), in which case saveAsTable
+    // fails with LOCATION_ALREADY_EXISTS even under mode(overwrite).
+    // Clear BOTH sides before writing.
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Join two tables bucketed on the same key with the same bucket
     * count: no shuffle Exchange on either side, no sort if `sortBy`

@@ -127,7 +127,11 @@ object Streams {
     import events.sparkSession.implicits._
     // State TTL is only legal under ProcessingTime time mode — pick the
     // mode from the ttl argument so a TTL caller doesn't hit the
-    // analysis error TTL-with-NoTime raises.
+    // analysis error TTL-with-NoTime raises. CAVEAT: because the mode
+    // is derived from `ttl`, toggling ttl on an existing query changes
+    // the operator's TimeMode, which is NOT checkpoint-compatible —
+    // enabling or disabling ttl requires starting from a fresh
+    // checkpoint, not restarting the old one.
     val mode = if (ttl.isDefined) TimeMode.ProcessingTime()
                else TimeMode.None()
     events.groupByKey(_._1)
@@ -212,6 +216,18 @@ object Streams {
     * keyspace so a key that stops receiving events has its trailing
     * buffer dropped by the store instead of retained forever — frame
     * eviction otherwise only runs when that key sees a new event.
+    *
+    * Clock caveat: `windowSec` is EVENT time but TTL eviction runs on
+    * PROCESSING time, per list-state entry. The batch-parity contract
+    * (bit-equality with the RANGE frame) therefore only holds for keys
+    * whose processing-time gap between successive events stays below
+    * `ttl` — a throttled historical replay that feeds a key slower
+    * than the TTL loses buffer entries still inside the event-time
+    * frame. Size ttl above the maximum expected inter-event processing
+    * gap of any LIVE key, not merely as a multiple of `windowSec`.
+    * Also: TimeMode is derived from `ttl` (ProcessingTime vs None), so
+    * enabling/disabling ttl on an existing query is a TimeMode change
+    * and requires a fresh checkpoint.
     */
   def rollingStatsTws(events: Dataset[(Long, Long, Long, Long)],
                       windowSec: Long,
@@ -399,6 +415,47 @@ object Streams {
       .join(seen, Seq("__h"), "left_outer")
       .filter(col("__seen").isNull)
       .drop("__h", "__seen")
+  }
+
+  /** Streaming NEAR-dup serving — [[dedupStream]]'s exact-key gate
+    * generalized to embedding similarity: each micro-batch of incoming
+    * documents is sign-LSH-bucketed with the SAME expressions as the
+    * batch index ([[graft.text.Similarity.signatures]]) and
+    * equi-joined on the bucket key against that materialized signature
+    * table; candidates sharing a bucket are rescored with the exact
+    * quantized-integer cosine and pairs at/above `minCosine` are
+    * emitted as `(id, dup_id, cosine)` — the incoming doc's id first.
+    *
+    * This is a stream-static equi-join, so Spark re-plans the static
+    * side per micro-batch with the full optimizer: a small signature
+    * table broadcasts; a 100 TB one should be persisted bucketed on
+    * `bucket` ([[graft.io.Bucketing.writeBucketed]]) so only the
+    * micro-batch side shuffles and the corpus is never moved. Candidate
+    * volume per incoming doc is its bucket's occupancy (size `bits`
+    * with [[graft.text.Similarity.bitsFor]]), never the corpus.
+    *
+    * Parity contract (NearDupStreamSpec): replaying a corpus through
+    * this stream against its own signature table yields exactly the
+    * batch [[graft.text.Similarity.bucketedPairs]] pair set (after
+    * canonicalizing pair order), with bit-equal cosines — the integer
+    * quantization scheme is deterministic across both paths.
+    */
+  def nearDupStream(stream: DataFrame, signatures: DataFrame,
+                    idCol: String, vecCol: String, minCosine: Double,
+                    bits: Int): DataFrame = {
+    val s = stream.select(
+        col(idCol).cast(org.apache.spark.sql.types.LongType).as("id"),
+        graft.text.Similarity.quantVec(col(vecCol)).as("qb"),
+        graft.text.Similarity.signBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("nb2", graft.text.Similarity.qnorm2(col("qb")))
+    val idx = signatures.select(col("bucket"), col("id").as("dup_id"),
+      col("qv").as("qa"), col("n2").as("na2"))
+    s.join(idx, Seq("bucket"))
+      .filter(col("dup_id") =!= col("id"))
+      .withColumn("cosine", graft.text.Similarity.qcosine(
+        col("qa"), col("na2"), col("qb"), col("nb2")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id"), col("dup_id"), col("cosine"))
   }
 
   /** The logger loop sink (A3/A20): every micro-batch appends to a

@@ -365,10 +365,7 @@ object Similarity {
   def bucketedPairs(df: DataFrame, idCol: String, vecCol: String,
                     minCosine: Double, bits: Int,
                     dim: Int): DataFrame = {
-    val base = df.select(col(idCol).cast(LongType).as("id"),
-        quantVec(col(vecCol)).as("qv"),
-        signBucket(col(vecCol), bits).as("bucket"))
-      .withColumn("n2", qnorm2(col("qv")))
+    val base = signatures(df, idCol, vecCol, bits)
     val lhs = base.select(col("bucket"), col("id").as("id_a"),
       col("qv").as("qa"), col("n2").as("na2"))
     val rhs = base.select(col("bucket"), col("id").as("id_b"),
@@ -380,4 +377,20 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** The materialized sign-LSH signature table — `(id, qv, n2, bucket)`
+    * per document — shared by the batch self-join ([[bucketedPairs]])
+    * and the streaming serving lookup
+    * ([[graft.streaming.Streams.nearDupStream]]), so both paths bucket
+    * and score through the IDENTICAL expressions. At scale this is the
+    * near-dup INDEX: persist it bucketed on `bucket`
+    * ([[graft.io.Bucketing.writeBucketed]]) so per-micro-batch lookups
+    * shuffle only the batch side, never the corpus.
+    */
+  def signatures(df: DataFrame, idCol: String, vecCol: String,
+                 bits: Int): DataFrame =
+    df.select(col(idCol).cast(LongType).as("id"),
+        quantVec(col(vecCol)).as("qv"),
+        signBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("n2", qnorm2(col("qv")))
 }

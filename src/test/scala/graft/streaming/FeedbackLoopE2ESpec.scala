@@ -142,7 +142,11 @@ class FeedbackLoopE2ESpec extends SparkSpec {
     // ---- 4. PIT serving over the bucketed table: queries stream in
     // AFTER all values (incl. later ones) are already imported; each
     // must see only values stamped <= its as-of time
+    // Managed table: MUST drop in a finally (FeatureStoreSpec
+    // convention) or the warehouse dir outlives the catalog entry and
+    // the next JVM's run dies with LOCATION_ALREADY_EXISTS.
     fs.compactBucketed("actions", "action_id", "e2e_loop_pit", 4)
+    try {
     val entities = train.select(col("action").cast("long"))
       .distinct().as[Long].collect().toSeq.sorted
     val asOfs = Seq(
@@ -215,5 +219,6 @@ class FeedbackLoopE2ESpec extends SparkSpec {
     // conservation: every served prediction step reached the retrained
     // model's sufficient statistics — the loop is closed
     assert(modelTable.map(_._4).sum == 6L)
+    } finally spark.sql("DROP TABLE IF EXISTS e2e_loop_pit")
   }
 }
