@@ -10,6 +10,7 @@ registered as views, sorts columns by name, and compares cell-by-cell
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -22,6 +23,9 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    threads = os.environ.get("COMPARE_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
