@@ -7,9 +7,35 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [queryName ...] — trailing names restrict
     // the dump (dev loop); the driver passes exactly two.
+    // "--sql-only" as the sole trailing arg writes oracle_sql.json and
+    // exits without starting Spark (sweep tooling derives its query
+    // list from this instead of a stale prior run's output).
     val sfDir = args(0)
     val outDir = args(1)
-    val only = args.drop(2).toSet
+    val sqlOnly = args.drop(2).sameElements(Array("--sql-only"))
+    val only = if (sqlOnly) Set.empty[String] else args.drop(2).toSet
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def writeOracleJson(): Unit = {
+      val json = SparkEntry.oracleSql
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    }
+    if (sqlOnly) {
+      new java.io.File(outDir).mkdirs()
+      writeOracleJson()
+      return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Same recommended config the bench runs (Sessions.tuned); results
     // are partitioning-independent (deterministic ORDER BY, hash gates).
@@ -29,21 +55,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    writeOracleJson()
     spark.stop()
   }
 }

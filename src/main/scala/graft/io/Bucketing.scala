@@ -22,6 +22,12 @@ object Bucketing {
     // the JVM, the directory does not), in which case saveAsTable
     // fails with LOCATION_ALREADY_EXISTS even under mode(overwrite).
     // Clear BOTH sides before writing.
+    // Unqualified names only: the stale-dir path below is computed as
+    // <warehouse>/<table>, which is wrong for db-qualified tables
+    // (<warehouse>/db.db/tbl) — and `db.tbl` would be backtick-quoted
+    // into a single identifier in the DROP.
+    require(!table.contains('.'),
+      s"writeBucketed requires an unqualified table name, got '$table'")
     val s = df.sparkSession
     s.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(

@@ -443,11 +443,12 @@ object Streams {
   def nearDupStream(stream: DataFrame, signatures: DataFrame,
                     idCol: String, vecCol: String, minCosine: Double,
                     bits: Int): DataFrame = {
-    val s = stream.select(
-        col(idCol).cast(org.apache.spark.sql.types.LongType).as("id"),
-        graft.text.Similarity.quantVec(col(vecCol)).as("qb"),
-        graft.text.Similarity.signBucket(col(vecCol), bits).as("bucket"))
-      .withColumn("nb2", graft.text.Similarity.qnorm2(col("qb")))
+    // Stream side IS Similarity.signatures — one definition shared with
+    // the batch index, so a quantizer change can never fork the two
+    // paths. Only the column names differ (qv->qb, n2->nb2).
+    val s = graft.text.Similarity.signatures(stream, idCol, vecCol, bits)
+      .withColumnRenamed("qv", "qb")
+      .withColumnRenamed("n2", "nb2")
     val idx = signatures.select(col("bucket"), col("id").as("dup_id"),
       col("qv").as("qa"), col("n2").as("na2"))
     s.join(idx, Seq("bucket"))
