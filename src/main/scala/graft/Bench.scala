@@ -54,10 +54,17 @@ object Bench {
     // showed ±20-25% noise (GC, neighbor steal); the median discards
     // both a hiccup pass and a suspiciously-hot one, so consecutive
     // bench runs land within a few percent of each other.
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String)
+    // A throwing query must not masquerade as a fast one (r9: three
+    // analysis-broken queries "benched" at 0.05 s and the total quietly
+    // improved) — record it in `failed` and surface the list in the
+    // summary JSON + the exit code.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def timeOnce(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => failed += name }
       (System.nanoTime() - t0) / 1e9
     }
     // Fixed (sorted-name) order, and each query re-warms IMMEDIATELY
@@ -70,10 +77,11 @@ object Bench {
     // independent of how many other queries the suite carries.
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        if (fast) name -> timeOnce(fn)
+        if (fast) name -> timeOnce(name, fn)
         else {
-          timeOnce(fn) // re-warm: codegen + caches hot for THIS query
-          val ts = Array(timeOnce(fn), timeOnce(fn), timeOnce(fn)).sorted
+          timeOnce(name, fn) // re-warm: codegen + caches hot for THIS query
+          val ts = Array(timeOnce(name, fn), timeOnce(name, fn),
+            timeOnce(name, fn)).sorted
           name -> ts(1)
         }
     }
@@ -82,8 +90,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failJson = failed.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"failures":$failJson,"queries":$qs,"sf":"$sfDir"}"""
     // The driver captures only a ~2000-char TAIL of stdout; the full
     // per-query blob is >4 KB so its leading "total" field falls off
     // the window (BENCH r01-r03 all parsed:null). Persist the full blob
@@ -94,7 +104,8 @@ object Bench {
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"n_queries":${results.size},"sf":"$sfDir","per_query":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"n_queries":${results.size},"failures":$failJson,"sf":"$sfDir","per_query":"bench_out.json"}""")
     System.out.flush()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -12,8 +12,16 @@ object Verify {
     // list from this instead of a stale prior run's output).
     val sfDir = args(0)
     val outDir = args(1)
-    val sqlOnly = args.drop(2).sameElements(Array("--sql-only"))
-    val only = if (sqlOnly) Set.empty[String] else args.drop(2).toSet
+    val trailing = args.drop(2)
+    val sqlOnly = trailing.contains("--sql-only")
+    if (sqlOnly && trailing.length > 1) {
+      // Mixed --sql-only + query names used to be silently treated as a
+      // (never-matching) name filter; fail fast instead (ADVICE r9).
+      System.err.println(
+        "usage: Verify <sfDir> <outDir> [--sql-only | queryName ...]")
+      sys.exit(2)
+    }
+    val only = if (sqlOnly) Set.empty[String] else trailing.toSet
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -46,16 +54,38 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Schema-drift canary (r9: driver testdata changed timestamp encoding
+    // between rounds and three queries silently vanished from the
+    // report). One readable line per drifted column, up front, before
+    // any query obscures the root cause.
+    val drift = try graft.io.Tables.schemaDrift(spark, sfDir)
+                catch { case e: Throwable => Seq(s"canary error: $e") }
+    drift.foreach(d => System.err.println(s"[verify] SCHEMA DRIFT: $d"))
+    // A query that throws must be LOUD, not a silently-shrinking report:
+    // record every failure in errors.json (the driver can surface it) and
+    // exit nonzero. r9's three analysis-broken queries "vanished" from
+    // CORRECTNESS precisely because this used to stderr-log and move on.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg.linesIterator.take(3).mkString(" | ")
       }
     }
     writeOracleJson()
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // Loud summary, but rc stays 0: the driver still compares the
+    // queries that DID dump, and errors.json carries the failure list.
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -23,6 +23,14 @@ object Tables {
 
   /** Read one testdata table. Plain parquet scan — Catalyst handles column
     * pruning + predicate pushdown from whatever the caller stacks on top.
+    *
+    * Timestamp normalization: the driver testdata's encoding has drifted
+    * across rounds (TIMESTAMP(NANOS) → TIMESTAMP_NTZ micros), so every
+    * timestamp flavor is rebuilt to plain TimestampType here — the one
+    * type the whole query surface (incl. `unix_micros`) accepts. Under
+    * the pinned UTC session timeZone the NTZ→TZ cast is
+    * instant-preserving and matches what DuckDB reads from the same
+    * parquet.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -34,7 +42,74 @@ object Tables {
         d.withColumn(f.name,
           org.apache.spark.sql.functions.expr(
             s"timestamp_micros(${f.name} div 1000)"))
+      else if (f.dataType == TimestampNTZType)
+        d.withColumn(f.name,
+          org.apache.spark.sql.functions.col(f.name).cast(TimestampType))
       else d
+    }
+  }
+
+  /** Canonical Spark-visible schema of every star table as produced by
+    * [[table]] — the contract the whole query surface compiles against.
+    * Round 9 proved the driver testdata can change encoding between
+    * rounds (TIMESTAMP(NANOS) → TIMESTAMP_NTZ), silently breaking
+    * queries; [[schemaDrift]] checks a directory against this catalog so
+    * the NEXT drift fails with one readable line per drifted column.
+    */
+  val starSchemas: Map[String, Seq[(String, DataType)]] = Map(
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampType, "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampType),
+    "events" -> Seq("event_id" -> LongType, "ts" -> TimestampType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType,
+      "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+
+  /** Compare a testdata directory's Spark-visible schemas (through
+    * [[table]], after all normalization) against [[starSchemas]].
+    * Returns one human-readable line per drifted/missing/extra column —
+    * empty means the contract holds. Ignores array-element nullability
+    * (a writer-dependent detail no query observes).
+    */
+  def schemaDrift(spark: SparkSession, sfDir: String): Seq[String] = {
+    def norm(dt: DataType): DataType = dt match {
+      case ArrayType(e, _) => ArrayType(norm(e), containsNull = true)
+      case other => other
+    }
+    starTables.flatMap { t =>
+      val actual = table(spark, sfDir, t).schema.fields
+        .map(f => f.name -> f.dataType).toMap
+      val expected = starSchemas(t)
+      val drifted = expected.collect {
+        case (c, dt) if actual.contains(c) && norm(actual(c)) != norm(dt) =>
+          s"$t.$c: expected ${dt.simpleString}, got ${actual(c).simpleString}"
+        case (c, dt) if !actual.contains(c) =>
+          s"$t.$c: expected ${dt.simpleString}, column MISSING"
+      }
+      val extra = (actual.keySet -- expected.map(_._1)).toSeq.sorted
+        .map(c => s"$t.$c: unexpected extra column (${actual(c).simpleString})")
+      drifted ++ extra
     }
   }
 

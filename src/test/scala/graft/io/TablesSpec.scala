@@ -31,6 +31,36 @@ class TablesSpec extends SparkSpec {
     assert(r == ((196, 3, "1997-12-04 15:55:49"))) // UTC
   }
 
+  test("schema-drift canary: driver testdata matches the pinned star " +
+      "catalog through Tables.table (r9: events.ts silently changed " +
+      "TIMESTAMP(NANOS) -> TIMESTAMP_NTZ and three queries vanished)") {
+    val drift = Tables.schemaDrift(spark, "/root/testdata/sf0.001")
+    assert(drift.isEmpty, drift.mkString("\n"))
+  }
+
+  test("schema-drift canary names the drifted column and both types on " +
+      "a planted-drift fixture") {
+    val dir = Files.createTempDirectory("drift").toString
+    // copy the real sf0.001 tables, then replant events with ts drifted
+    // to string (a LongType plant would be swallowed by the legitimate
+    // nanos-as-long rebuild) plus a dropped column
+    for (t <- Tables.starTables)
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        .write.parquet(s"$dir/$t.parquet")
+    spark.read.parquet(s"/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", date_format($"ts".cast("timestamp"),
+        "yyyy-MM-dd HH:mm:ss"))
+      .drop("props") // and a missing column
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val drift = Tables.schemaDrift(spark, dir)
+    assert(drift.exists(d => d.contains("events.ts") &&
+      d.contains("timestamp") && d.contains("string")),
+      s"ts drift not named: $drift")
+    assert(drift.exists(_.contains("events.props")), s"missing col: $drift")
+    // and the untouched tables contribute no noise
+    assert(drift.forall(_.startsWith("events.")), drift.mkString("\n"))
+  }
+
   test("NDJSON nested trajectory schema round-trips (A2) and append " +
       "doubles rows (A3)") {
     val dir = Files.createTempDirectory("ndjson").toString

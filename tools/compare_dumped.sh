@@ -5,19 +5,21 @@
 set -u
 OUT=$1; SF_DIR=$2; LOG=$3
 cd /root/repo
+CMP=$(mktemp /tmp/cmp_one.XXXXXX)
+trap 'rm -f "$CMP"' EXIT
 PASS=0; FAIL=0; TMO=0
 for d in "$OUT"/q_*/; do
   q=$(basename "$d")
   grep -q "^PASS $q\$\|^TIMEOUT $q " "$LOG" 2>/dev/null && continue
-  timeout 300 python3 tools/compare.py "$SF_DIR" "$OUT" "$q" > /tmp/cmp_one.txt 2>&1
+  timeout 300 python3 tools/compare.py "$SF_DIR" "$OUT" "$q" > "$CMP" 2>&1
   rc=$?
   if [ $rc = 124 ]; then
     echo "TIMEOUT $q (oracle > 300s)" | tee -a "$LOG"; TMO=$((TMO+1))
-  elif grep -q "^PASS $q" /tmp/cmp_one.txt; then
+  elif grep -q "^PASS $q" "$CMP"; then
     echo "PASS $q" | tee -a "$LOG"; PASS=$((PASS+1))
   else
     echo "FAIL $q:" | tee -a "$LOG"
-    grep -m3 "^FAIL" /tmp/cmp_one.txt | tee -a "$LOG"
+    grep -m3 "^FAIL" "$CMP" | tee -a "$LOG"
     FAIL=$((FAIL+1))
   fi
 done

@@ -19,10 +19,20 @@ LOG=/tmp/sweep_sf3.log
 
 EXCLUDE="q_graph_triangles q_embed_pairs q_dedup_clusters q_dedup_survivors q_semantic_dedup q_contamination q_dedup_ngram"
 
-# stage 1: dump everything except the Spark-side exclusion
-ALL=$(python3 - <<'EOF'
-import json
-names = json.load(open('/tmp/vout/oracle_sql.json'))
+# stage 0: derive the oracle-checked query list from THIS build via
+# Verify --sql-only (no Spark startup) — never from a stale prior run's
+# /tmp/vout, whose absence used to silently dump ALL queries including
+# the deliberately-excluded Θ(n³) q_graph_triangles
+mkdir -p "$OUT"
+sbt -batch "runMain graft.Verify $SF_DIR $OUT --sql-only" >> "$LOG" 2>&1
+if [ ! -s "$OUT/oracle_sql.json" ]; then
+  echo "[sweep] FATAL: $OUT/oracle_sql.json missing after --sql-only" \
+    | tee -a "$LOG"
+  exit 1
+fi
+ALL=$(python3 - "$OUT/oracle_sql.json" <<'EOF'
+import json, sys
+names = json.load(open(sys.argv[1]))
 print(' '.join(sorted(names)))
 EOF
 )
@@ -37,21 +47,24 @@ SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.Verify $SF_DIR $OUT $RUN" \
   >> "$LOG" 2>&1
 echo "[sweep] dump done, rc=$?" | tee -a "$LOG"
 
-# stage 2: per-query compare with timeout
+# stage 2: per-query compare with timeout (private temp file — two
+# concurrent sweeps must not clobber each other's PASS/FAIL logging)
+CMP=$(mktemp /tmp/cmp_one.XXXXXX)
+trap 'rm -f "$CMP"' EXIT
 PASS=0; FAIL=0; TIMEOUT=0
 for q in $RUN; do
   if [ ! -d "$OUT/$q" ]; then
     echo "SKIP $q (no spark output)" | tee -a "$LOG"; FAIL=$((FAIL+1)); continue
   fi
-  timeout 300 python3 tools/compare.py "$SF_DIR" "$OUT" "$q" > /tmp/cmp_one.txt 2>&1
+  timeout 300 python3 tools/compare.py "$SF_DIR" "$OUT" "$q" > "$CMP" 2>&1
   rc=$?
   if [ $rc = 124 ]; then
     echo "TIMEOUT $q (oracle > 300s)" | tee -a "$LOG"; TIMEOUT=$((TIMEOUT+1))
-  elif grep -q "^PASS $q" /tmp/cmp_one.txt; then
+  elif grep -q "^PASS $q" "$CMP"; then
     echo "PASS $q" | tee -a "$LOG"; PASS=$((PASS+1))
   else
     echo "FAIL $q:" | tee -a "$LOG"
-    grep "^FAIL" /tmp/cmp_one.txt | head -2 | tee -a "$LOG"
+    grep "^FAIL" "$CMP" | head -2 | tee -a "$LOG"
     FAIL=$((FAIL+1))
   fi
 done
