@@ -165,8 +165,16 @@ object RelationalQueries {
         .orderBy("c_custkey")
     },
 
-    // Non-equi band join: broadcast the smaller side so the nested-loop
-    // probe never shuffles the big side.
+    // Non-equi band join. The naive form — broadcast(supplier) BETWEEN
+    // part — plans as a BroadcastNestedLoopJoin whose work is
+    // |supplier|·|part| (the gen-sf10 sweep measured it at 2×10¹¹
+    // comparisons on one task). Scale path: (1) aggregate pushdown —
+    // the measures depend only on p_retailprice, so collapse part to
+    // its distinct prices first (cents-quantized in practice; bounded
+    // by |part| always); (2) bucketed band equi-join
+    // (Relational.bandJoin) — candidates from an equi-join on a
+    // 2·halfWidth bucket key, work ∝ in-band pairs, never the full
+    // cross space; (3) recombine the partial aggregates per supplier.
     sql("q_join_range")(
       """SELECT s_suppkey, COUNT(*) AS n_parts,
         |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -174,13 +182,15 @@ object RelationalQueries {
         |FROM supplier JOIN part
         |  ON p_retailprice BETWEEN s_acctbal - 60 AND s_acctbal + 60
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
-      broadcast(t(s, dir, "supplier"))
-        .join(t(s, dir, "part"),
-          col("p_retailprice").between(
-            col("s_acctbal") - 60, col("s_acctbal") + 60))
+      val prices = t(s, dir, "part")
+        .groupBy("p_retailprice")
+        .agg(count(lit(1)).as("__n"),
+          sum(col("p_retailprice").cast(DecimalType(18, 2))).as("__sum"))
+      Relational.bandJoin(prices, t(s, dir, "supplier"),
+          "p_retailprice", "s_acctbal", 60.0)
         .groupBy("s_suppkey")
-        .agg(count(lit(1)).as("n_parts"),
-          sumD2(col("p_retailprice")).as("sum_price"))
+        .agg(sum(col("__n")).as("n_parts"),
+          sum(col("__sum")).cast(DoubleType).as("sum_price"))
         .orderBy("s_suppkey")
     },
 

@@ -253,6 +253,35 @@ object Relational {
       .distinct()
   }
 
+  /** Numeric band equi-join (point × interval): rows of `points` whose
+    * `valCol` lands in [`centerCol` − halfWidth, `centerCol` + halfWidth]
+    * of `bands`. Same coarse-banding trick as [[intervalJoin]], on a
+    * numeric axis: bucket width = the full band (2·halfWidth), so a band
+    * covers ≤ 2 buckets and a point exactly 1 — candidates come from a
+    * plain equi-join on the bucket key (broadcast/shuffle-on-key,
+    * AQE-managed, parallel over the point side), the exact BETWEEN
+    * filters inside the join, and no dedup is needed (each point maps to
+    * one bucket). Join work is O(points sharing a bucket with a band) ≈
+    * O(output), never the O(|points|·|bands|) nested loop Catalyst
+    * plans for a raw non-equi BETWEEN — the gen-sf10 sweep caught that
+    * form doing 2×10¹¹ comparisons on one task.
+    * Column names of the two sides must be disjoint.
+    */
+  def bandJoin(points: DataFrame, bands: DataFrame, valCol: String,
+               centerCol: String, halfWidth: Double): DataFrame = {
+    require(halfWidth > 0, "halfWidth must be positive")
+    val w = 2 * halfWidth
+    val p = points.withColumn("__pbkt",
+      floor(col(valCol) / w).cast("long"))
+    val b = bands.withColumn("__bbkt", explode(sequence(
+      floor((col(centerCol) - halfWidth) / w).cast("long"),
+      floor((col(centerCol) + halfWidth) / w).cast("long"))))
+    p.join(b, col("__pbkt") === col("__bbkt") &&
+        col(valCol).between(col(centerCol) - halfWidth,
+          col(centerCol) + halfWidth))
+      .drop("__pbkt", "__bbkt")
+  }
+
   /** Deterministic train/val/test assignment: split = the first band
     * whose cumulative permille bound exceeds hash(id) mod 1000. Same
     * Lehmer-step hash (and the same reproducibility contract) as

@@ -126,6 +126,43 @@ class RelationalSpec extends SparkSpec {
     assert(n == 3L)
   }
 
+  test("bandJoin matches the quadratic BETWEEN join, incl. boundaries") {
+    val points = Seq((1L, -60.0), (2L, 0.0), (3L, 59.9), (4L, 60.0),
+      (5L, 60.1), (6L, 180.0), (7L, -180.0)).toDF("pid", "v")
+    val bands = Seq((10L, 0.0), (11L, 120.0), (12L, -120.0))
+      .toDF("bid", "c")
+    val out = Relational.bandJoin(points, bands, "v", "c", 60.0)
+      .select("pid", "bid").as[(Long, Long)].collect().toSet
+    // oracle: v BETWEEN c-60 AND c+60 (inclusive both ends)
+    val expect = for {
+      (p, v) <- Seq(1L -> -60.0, 2L -> 0.0, 3L -> 59.9, 4L -> 60.0,
+        5L -> 60.1, 6L -> 180.0, 7L -> -180.0)
+      (b, c) <- Seq(10L -> 0.0, 11L -> 120.0, 12L -> -120.0)
+      if v >= c - 60 && v <= c + 60
+    } yield (p, b)
+    assert(out == expect.toSet)
+    // each qualifying pair appears exactly once (points map to 1 bucket)
+    assert(Relational.bandJoin(points, bands, "v", "c", 60.0).count() ==
+      expect.size.toLong)
+  }
+
+  test("q_join_range plans a bucket equi-join, not a nested-loop over " +
+    "the supplier×part pair space (gen-sf10 sweep regression)") {
+    val plan = graft.Queries.queries("q_join_range")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+    val expanded = plan +: plan.collect {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => a.executedPlan
+    }
+    val bad = expanded.flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => j.getClass.getSimpleName
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        j.getClass.getSimpleName
+    })
+    assert(bad.isEmpty, s"non-equi pair-space join in plan:\n$plan")
+  }
+
   test("hashSplit is exhaustive, disjoint, and stable under growth") {
     val bands = Seq("train" -> 800, "val" -> 100, "test" -> 100)
     val small = spark.range(0, 100).toDF("id")
