@@ -300,4 +300,69 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** 128-bit SimHash fingerprint — the WIDE form that keeps banded
+    * near-dup search linear at corpus scale. The 64-bit scheme's
+    * 4×16-bit bands collide at random with probability 2^-16 per band,
+    * so its candidate-pair space grows ~4·n²/2^16 — measured
+    * superlinear at gen-sf10 (500k docs: q_dedup_simhash walled 5.1×
+    * for 3.3× rows). Two independent 64-bit vote tallies (seeded
+    * xxhash64) give 128 bits → 4×32-bit bands: the same pigeonhole
+    * guarantee for hamming ≤ 3, with the random-collision floor pushed
+    * to 4·n²/2^32 — negligible into the billions of documents.
+    * Output: (doc_id, fp_lo, fp_hi); same codegen'd
+    * explode→votes→one-groupBy shape as [[simhashTable]].
+    */
+  def simhashWideTable(df: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val toked = df.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("t"))
+    val hashed = toked.select(col("doc_id"),
+      xxhash64(col("t")).as("h1"), xxhash64(lit(1L), col("t")).as("h2"))
+    def votes(h: String, tag: String) = (0 until 64).map(i =>
+      sum(when(col(h).bitwiseAND(lit(1L << i)) =!= 0L, 1L)
+        .otherwise(-1L)).as(s"$tag$i"))
+    val all = votes("h1", "a") ++ votes("h2", "b")
+    val tallies = hashed.groupBy("doc_id").agg(all.head, all.tail: _*)
+    def fp(tag: String) = (0 until 64).map(i =>
+        when(col(s"$tag$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    tallies.select(col("doc_id"), fp("a").as("fp_lo"), fp("b").as("fp_hi"))
+  }
+
+  /** 128-bit hamming distance over the (lo, hi) fingerprint pair. */
+  def hammingWide(aLo: Column, aHi: Column,
+                  bLo: Column, bHi: Column): Column =
+    bit_count(aLo.bitwiseXOR(bLo)) + bit_count(aHi.bitwiseXOR(bHi))
+
+  /** SimHash near-dup pairs over the 128-bit fingerprint: 4×32-bit
+    * bands (2 from fp_lo, 2 from fp_hi), distance ≤ 3 ⇒ one band exact
+    * — identical structure to [[simhashPairs]], collision floor 2^-32
+    * per band instead of 2^-16. The corpus-scale form.
+    */
+  def simhashPairsWide(df: DataFrame, textCol: String, idCol: String,
+                       maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-band scheme guarantees recall only to 3")
+    val fps = simhashWideTable(df, textCol, idCol).cache()
+    val mask32 = lit(0xffffffffL)
+    val banded = fps.select(col("doc_id"), col("fp_lo"), col("fp_hi"),
+      explode(array((0 until 4).map { b =>
+        val src = if (b < 2) col("fp_lo") else col("fp_hi")
+        struct(lit(b).as("band"),
+          shiftright(src, (b % 2) * 32).bitwiseAND(mask32).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("fp_lo"), col("fp_hi"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.fp_lo").as("alo"), col("x.fp_hi").as("ahi"),
+        col("y.fp_lo").as("blo"), col("y.fp_hi").as("bhi"))
+      .distinct()
+      .withColumn("hamming",
+        hammingWide(col("alo"), col("ahi"), col("blo"), col("bhi")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
 }

@@ -50,6 +50,40 @@ object SlopeProbe {
       spark.stop()
       return
     }
+    // `<sfDir> simhash` — candidate-pair space of the banded SimHash
+    // schemes, analytically (Σ C(count,2) per band key — one aggregate,
+    // no join): 64-bit/4×16-bit bands collide at random ~4·n²/2^16,
+    // the 128-bit/4×32-bit wide form at ~4·n²/2^32. Quantifies why
+    // q_dedup_simhash walled superlinear at gen-sf10 and why the wide
+    // fingerprint is the corpus-scale path (Dedup.simhashWideTable).
+    if (args.length > 1 && args(1) == "simhash") {
+      val docs = graft.io.Tables.table(spark, sfDir, "documents")
+      def pairSpace(banded: org.apache.spark.sql.DataFrame): Long =
+        banded.groupBy("band", "key").agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0L))
+            .cast("long")).head().getLong(0)
+      val fp64 = graft.text.Dedup.simhashTable(docs, "text", "doc_id")
+        .persist()
+      val n = fp64.count()
+      val b64 = fp64.select(explode(array((0 until 4).map(b => struct(
+          lit(b).as("band"), shiftright(col("fp"), b * 16)
+            .bitwiseAND(lit(65535L)).as("key"))): _*)).as("bk"))
+        .select(col("bk.band").as("band"), col("bk.key").as("key"))
+      val p64 = pairSpace(b64)
+      val fpW = graft.text.Dedup.simhashWideTable(docs, "text", "doc_id")
+      val bW = fpW.select(explode(array((0 until 4).map { b =>
+          val src = if (b < 2) col("fp_lo") else col("fp_hi")
+          struct(lit(b).as("band"), shiftright(src, (b % 2) * 32)
+            .bitwiseAND(lit(0xffffffffL)).as("key"))
+        }: _*)).as("bk"))
+        .select(col("bk.band").as("band"), col("bk.key").as("key"))
+      val pW = pairSpace(bW)
+      println(s"""{"sf":"$sfDir","mode":"simhash","n_docs":$n,""" +
+        s""""band16_candidate_pairs":$p64,""" +
+        s""""band32_candidate_pairs":$pW}""")
+      spark.stop()
+      return
+    }
     val t0 = System.nanoTime()
     val cs = graft.io.Tables.table(spark, sfDir, "orders")
       .join(graft.io.Tables.table(spark, sfDir, "lineitem"),

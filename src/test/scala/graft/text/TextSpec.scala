@@ -117,6 +117,64 @@ class TextSpec extends SparkSpec {
     assert(!pairs.exists(p => p._3 > 3))
   }
 
+  test("wide simhash: identical docs at distance 0; recall exact vs " +
+    "brute force at hamming <= 3; no pair exceeds the bound") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different words appear here tonight"),
+      (4L, "the quick brown fox jumps over the lazy cat"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairsWide(df, "text", "doc_id", 3)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._3 > 3))
+    // exactness: banding must find EVERY pair the brute-force 128-bit
+    // hamming join finds (pigeonhole: distance <= 3 => one band equal)
+    val fps = Dedup.simhashWideTable(df, "text", "doc_id")
+    val a = fps.select($"doc_id".as("ida"), $"fp_lo".as("alo"),
+      $"fp_hi".as("ahi"))
+    val b = fps.select($"doc_id".as("idb"), $"fp_lo".as("blo"),
+      $"fp_hi".as("bhi"))
+    val brute = a.join(b, $"ida" < $"idb")
+      .withColumn("d", Dedup.hammingWide($"alo", $"ahi", $"blo", $"bhi"))
+      .filter($"d" <= 3)
+      .select($"ida", $"idb", $"d".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == brute)
+  }
+
+  test("wide simhash collapses the random-collision candidate space " +
+    "that makes 16-bit bands quadratic (gen-sf10 finding)") {
+    // 400 docs of unrelated random-ish words: 4x16-bit bands collide by
+    // chance (C(400,2)*4/65536 ~ 4.9 expected), 4x32-bit essentially
+    // never. Deterministic corpus — hash-derived words, no RNG.
+    val docs = (1 to 400).map { i =>
+      (i.toLong, (0 until 12).map(j => s"w${(i * 131 + j * 7919) % 100000}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    def candidates(banded: org.apache.spark.sql.DataFrame): Long =
+      banded.groupBy("band", "key").count()
+        .agg(coalesce(sum($"count" * ($"count" - 1) / 2), lit(0L))
+          .cast("long")).head().getLong(0)
+    val n64 = candidates(Dedup.simhashTable(docs, "text", "doc_id")
+      .select(explode(array((0 until 4).map(k => struct(
+        lit(k).as("band"), shiftright($"fp", k * 16)
+          .bitwiseAND(lit(65535L)).as("key"))): _*)).as("bk"))
+      .select($"bk.band".as("band"), $"bk.key".as("key")))
+    val nW = candidates(Dedup.simhashWideTable(docs, "text", "doc_id")
+      .select(explode(array((0 until 4).map { k =>
+        val src = if (k < 2) $"fp_lo" else $"fp_hi"
+        struct(lit(k).as("band"), shiftright(src, (k % 2) * 32)
+          .bitwiseAND(lit(0xffffffffL)).as("key"))
+      }: _*)).as("bk"))
+      .select($"bk.band".as("band"), $"bk.key".as("key")))
+    // the wide form must eliminate (essentially all of) the random
+    // collisions the 16-bit bands admit
+    assert(nW < n64, s"wide=$nW narrow=$n64")
+    assert(nW <= 2L, s"32-bit bands should be collision-free here: $nW")
+  }
+
   test("fingerprint stays within the modulus and is order-sensitive") {
     val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
     val fp = df.select($"doc_id", TextOps.fingerprint($"text").as("fp"))
