@@ -78,9 +78,29 @@ object SlopeProbe {
         }: _*)).as("bk"))
         .select(col("bk.band").as("band"), col("bk.key").as("key"))
       val pW = pairSpace(bW)
+      // end-to-end wall of both pair joins (verified pairs out): the
+      // candidate-space ratio above predicts the wall gap.
+      def timePairs(wide: Boolean): (Long, Double) = {
+        val t = System.nanoTime()
+        val rows = (if (wide)
+            graft.text.Dedup.simhashPairsWide(docs, "text", "doc_id", 3)
+          else graft.text.Dedup.simhashPairs(docs, "text", "doc_id", 3))
+          .count()
+        (rows, (System.nanoTime() - t) / 1e9)
+      }
+      val (r64, s64) = timePairs(wide = false)
+      val (rW, sW) = timePairs(wide = true)
+      // blocked form: same 64-bit fingerprint and output, 2^-40 keys
+      val tB0 = System.nanoTime()
+      val rB = graft.text.Dedup.simhashPairsBlocked(
+        docs, "text", "doc_id", 3).count()
+      val sB = (System.nanoTime() - tB0) / 1e9
       println(s"""{"sf":"$sfDir","mode":"simhash","n_docs":$n,""" +
         s""""band16_candidate_pairs":$p64,""" +
-        s""""band32_candidate_pairs":$pW}""")
+        s""""band32_candidate_pairs":$pW,""" +
+        s""""narrow_pairs":$r64,"narrow_sec":$s64,""" +
+        s""""wide_pairs":$rW,"wide_sec":$sW,""" +
+        s""""blocked_pairs":$rB,"blocked_sec":$sB}""")
       spark.stop()
       return
     }

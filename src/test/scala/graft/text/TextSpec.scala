@@ -144,6 +144,22 @@ class TextSpec extends SparkSpec {
     assert(pairs == brute)
   }
 
+  test("blocked simhash (8x8-bit, C(8,5) tables) reproduces the " +
+    "4x16-band pair set bit-for-bit on real documents") {
+    val docs = graft.io.Tables.table(spark, "/root/testdata/sf0.001",
+      "documents")
+    def pairs(fn: => org.apache.spark.sql.DataFrame) =
+      fn.select("doc_a", "doc_b", "hamming")
+        .as[(Long, Long, Long)].collect().toSet
+    val banded = pairs(Dedup.simhashPairs(docs, "text", "doc_id", 3))
+    val blocked = pairs(Dedup.simhashPairsBlocked(docs, "text",
+      "doc_id", 3))
+    // same fingerprints, same exact verification -> identical output;
+    // the planted near-dup corpus makes this non-vacuous
+    assert(banded.nonEmpty)
+    assert(blocked == banded)
+  }
+
   test("wide simhash collapses the random-collision candidate space " +
     "that makes 16-bit bands quadratic (gen-sf10 finding)") {
     // 400 docs of unrelated random-ish words: 4x16-bit bands collide by
