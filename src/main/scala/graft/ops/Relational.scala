@@ -265,7 +265,10 @@ object Relational {
     * O(output), never the O(|points|·|bands|) nested loop Catalyst
     * plans for a raw non-equi BETWEEN — the gen-sf10 sweep caught that
     * form doing 2×10¹¹ comparisons on one task.
-    * Column names of the two sides must be disjoint.
+    * Column names of the two sides must be disjoint, and neither side
+    * may already carry the reserved internal columns `__pbkt`/`__bbkt`
+    * (they are overwritten and dropped — same reservation as
+    * [[intervalJoin]]'s `__bkt`).
     */
   def bandJoin(points: DataFrame, bands: DataFrame, valCol: String,
                centerCol: String, halfWidth: Double): DataFrame = {

@@ -12,6 +12,14 @@ import org.apache.spark.sql.types._
   * plain shuffle-on-key join Catalyst/AQE handles, with skew bounded by
   * dropping ultra-common postings (`maxDf`). Verification re-joins the
   * per-doc shingle sets only for the surviving candidates.
+  *
+  * Caching contract: the pair builders (`minhashPairs`, `simhashPairs`,
+  * `simhashPairsBlocked`, `simhashPairsWide`) `cache()` their
+  * fingerprint/shingle intermediates — the self-join reads each twice —
+  * and do NOT unpersist them (the returned DataFrame is lazy; the
+  * intermediate must outlive this call). Callers running many pipelines
+  * in one session (e.g. SlopeProbe) should `spark.catalog.clearCache()`
+  * between them.
   */
 object Dedup {
 

@@ -88,6 +88,10 @@ object SlopeProbe {
           .count()
         (rows, (System.nanoTime() - t) / 1e9)
       }
+      // Warm codegen/JIT before the timed runs (same treatment as the
+      // lsh mode) — otherwise compile cost lands in narrow_sec and
+      // biases the narrow-vs-blocked wall comparison.
+      timePairs(wide = false)
       val (r64, s64) = timePairs(wide = false)
       val (rW, sW) = timePairs(wide = true)
       // blocked form: same 64-bit fingerprint and output, 2^-40 keys
