@@ -245,8 +245,15 @@ object Relational {
       df.withColumn("__bkt", explode(sequence(
         floor(unix_micros(col(s)) / us).cast("long"),
         floor(unix_micros(col(e)) / us).cast("long"))))
-    banded(a, aStart, aEnd).as("a")
-      .join(banded(b, bStart, bEnd).as("b"),
+    // hint("merge"): both sides are Generate (explode) outputs, whose
+    // size estimate passes through the un-exploded child — Catalyst
+    // auto-broadcasts the "smaller" side on that underestimate, which
+    // at corpus scale materializes a multi-GB broadcast (the gen-sf30
+    // sweep caught the sibling defect failing at 8 GiB in the SimHash
+    // band join). SMJ is what correct stats would pick; AQE still
+    // handles skew/coalesce on the shuffle.
+    banded(a, aStart, aEnd).as("a").hint("merge")
+      .join(banded(b, bStart, bEnd).as("b").hint("merge"),
         col("a.__bkt") === col("b.__bkt") &&
           col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
       .drop("__bkt")
@@ -279,6 +286,12 @@ object Relational {
     val b = bands.withColumn("__bbkt", explode(sequence(
       floor((col(centerCol) - halfWidth) / w).cast("long"),
       floor((col(centerCol) + halfWidth) / w).cast("long"))))
+    // No merge hint here, unlike intervalJoin: bandJoin's band side is
+    // dimension-shaped in practice (q_join_range pre-aggregates part to
+    // its distinct prices), so the broadcast Catalyst picks for the
+    // exploded side is usually the RIGHT plan. A caller whose bands
+    // genuinely scale with the corpus should pre-aggregate or use
+    // intervalJoin's always-shuffle form.
     p.join(b, col("__pbkt") === col("__bbkt") &&
         col(valCol).between(col(centerCol) - halfWidth,
           col(centerCol) + halfWidth))

@@ -68,7 +68,12 @@ object Cluster {
     while (!converged && iter < maxIter) {
       // candidate label for dst = component of src; keep the min of
       // (own component, best neighbor candidate)
-      val candidates = sym.join(labels, sym("src") === labels("id"))
+      // shuffle_hash hint: labels' cached node-sized estimate would
+      // otherwise auto-broadcast it every iteration — wrong at 50M+
+      // nodes. SHJ keeps the intended plan: sym's hash layout reused
+      // sort-free, only the label side shuffles.
+      val candidates = sym.join(labels.hint("shuffle_hash"),
+          sym("src") === labels("id"))
         .select(col("dst").as("id"), col("component"))
       // Explicit repartition pins the aggregation to the subgraph-sized
       // partition count (the session-wide shuffle.partitions knob is

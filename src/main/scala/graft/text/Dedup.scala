@@ -20,6 +20,16 @@ import org.apache.spark.sql.types._
   * intermediate must outlive this call). Callers running many pipelines
   * in one session (e.g. SlopeProbe) should `spark.catalog.clearCache()`
   * between them.
+  *
+  * Join strategy: every corpus×corpus join here carries an explicit
+  * `hint("merge")`. The band/posting sides are Generate (explode)
+  * outputs whose size estimate passes through the un-exploded child, so
+  * Catalyst auto-broadcasts them — silently at small scale, fatally at
+  * corpus scale (the gen-sf30 sweep caught the 56-way blocked-SimHash
+  * band table failing the 8 GiB broadcast limit; at gen-sf10 the same
+  * plan had silently broadcast 2.8 GB). SMJ is the plan correct stats
+  * would produce; AQE still applies skew-split and partition coalescing
+  * to the shuffles.
   */
 object Dedup {
 
@@ -99,7 +109,8 @@ object Dedup {
           .filter(col("df") <= maxDf)
           .drop("df")
       }
-    val inter = posts.as("x").join(posts.as("y"),
+    val inter = posts.as("x").hint("merge").join(
+        posts.as("y").hint("merge"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
           col("y.sz") >= col("x.sz") * minJaccard - 0.5 &&
           col("x.sz") >= col("y.sz") * minJaccard - 0.5)
@@ -150,7 +161,8 @@ object Dedup {
         posts(corpus).withColumn("df", count(lit(1)).over(byShingle))
           .filter(col("df") <= maxDf).drop("df")
       }
-    posts(probe).as("p").join(corpusPosts.as("c"),
+    posts(probe).as("p").hint("merge").join(
+        corpusPosts.as("c").hint("merge"),
         col("p.s") === col("c.s"))
       .groupBy(col("p.doc_id").as("probe_id"),
         col("c.doc_id").as("corpus_id"), col("p.sz").as("sz_p"))
@@ -167,10 +179,11 @@ object Dedup {
   def verifyJaccard(cand: DataFrame, sets: DataFrame,
                     minJaccard: Double): DataFrame =
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
-        "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-        "doc_b")
+      .hint("merge")
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .hint("merge"), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        .hint("merge"), "doc_b")
       .withColumn("n_inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
       .withColumn("n_union",
@@ -213,7 +226,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)))))
         .as(Seq("band", "bucket")))
-    banded.as("x").join(banded.as("y"),
+    banded.as("x").hint("merge").join(banded.as("y").hint("merge"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -298,7 +311,7 @@ object Dedup {
         .as("bk"))
       .select(col("doc_id"), col("fp"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("x").join(banded.as("y"),
+    banded.as("x").hint("merge").join(banded.as("y").hint("merge"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -361,7 +374,7 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("fp_lo"), col("fp_hi"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("x").join(banded.as("y"),
+    banded.as("x").hint("merge").join(banded.as("y").hint("merge"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -403,7 +416,7 @@ object Dedup {
       explode(array(tables: _*)).as("bk"))
       .select(col("doc_id"), col("fp"),
         col("bk.tbl").as("tbl"), col("bk.key").as("key"))
-    banded.as("x").join(banded.as("y"),
+    banded.as("x").hint("merge").join(banded.as("y").hint("merge"),
         col("x.tbl") === col("y.tbl") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

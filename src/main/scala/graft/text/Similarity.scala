@@ -370,7 +370,7 @@ object Similarity {
       col("qv").as("qa"), col("n2").as("na2"))
     val rhs = base.select(col("bucket"), col("id").as("id_b"),
       col("qv").as("qb"), col("n2").as("nb2"))
-    lhs.join(rhs, Seq("bucket"))
+    lhs.hint("merge").join(rhs.hint("merge"), Seq("bucket"))
       .filter(col("id_b") > col("id_a"))
       .withColumn("cosine",
         qcosine(col("qa"), col("na2"), col("qb"), col("nb2")))

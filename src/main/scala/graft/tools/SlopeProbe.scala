@@ -78,6 +78,22 @@ object SlopeProbe {
         }: _*)).as("bk"))
         .select(col("bk.band").as("band"), col("bk.key").as("key"))
       val pW = pairSpace(bW)
+      // Candidate space of the blocked (Manku 56-table, 40-bit-key)
+      // scheme — the REGISTERED q_dedup_simhash plan: Σ C(count,2)
+      // over (tbl, key) groups, same analytic treatment. Expected
+      // ∝ true near-dup pairs (+ ~56·n²/2^41 random floor), NOT
+      // 4·n²/2^16.
+      val combos = (0 until 8).combinations(5).toSeq
+      val bB = fp64.select(explode(array(combos.zipWithIndex.map {
+          case (blocks, tn) =>
+            val key = blocks.zipWithIndex.map { case (blk, pos) =>
+              shiftleft(shiftright(col("fp"), blk * 8)
+                .bitwiseAND(lit(255L)), pos * 8)
+            }.reduce((x, y) => x.bitwiseOR(y))
+            struct(lit(tn).as("band"), key.as("key"))
+        }: _*)).as("bk"))
+        .select(col("bk.band").as("band"), col("bk.key").as("key"))
+      val pB = pairSpace(bB)
       // end-to-end wall of both pair joins (verified pairs out): the
       // candidate-space ratio above predicts the wall gap.
       def timePairs(wide: Boolean): (Long, Double) = {
@@ -102,6 +118,7 @@ object SlopeProbe {
       println(s"""{"sf":"$sfDir","mode":"simhash","n_docs":$n,""" +
         s""""band16_candidate_pairs":$p64,""" +
         s""""band32_candidate_pairs":$pW,""" +
+        s""""blocked_candidate_pairs":$pB,""" +
         s""""narrow_pairs":$r64,"narrow_sec":$s64,""" +
         s""""wide_pairs":$rW,"wide_sec":$sW,""" +
         s""""blocked_pairs":$rB,"blocked_sec":$sB}""")

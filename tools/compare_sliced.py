@@ -1,0 +1,252 @@
+#!/usr/bin/env python3
+"""Staged/sliced oracle compare for the gen-sf10 blind spots.
+
+Four queries could never be differentially compared at gen-sf10 because
+their ONE-SHOT DuckDB oracle exceeds the sweep budget — q_pagerank /
+q_graph_degree died of temp-spill (>39 GB, ENOSPC: the whole multi-join
+pipeline's hash tables live at once), q_dedup_minhash_md5 /
+q_embed_pairs_lsh exceed 300 s (quadratic-in-bucket verification). The
+Spark sides dump fine.  This tool computes the SAME oracle result in
+bounded stages: linear intermediates are staged to parquet once, the
+quadratic stage runs as N disjoint key-hash slices (each a plain DuckDB
+query over the staged parquet), and the union of slices — provably equal
+to the one-shot result because every output row belongs to exactly one
+slice — is compared cell-exact against the Spark dump with the same
+comparator as tools/compare.py.
+
+Usage: compare_sliced.py <sfDir> <verifyOutDir> <query> [nslices=16]
+Queries: q_pagerank q_graph_degree q_dedup_minhash_md5 q_embed_pairs_lsh
+"""
+import os
+import shutil
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from compare import first_mismatch  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def log(msg):
+    print(f"[sliced {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def staged(con, work, name, sql_fn, slices=None):
+    """Materialize a stage to <work>/<name>/ parquet (one file per slice,
+    or a single file when slices is None) and register it as a view.
+    Reuses an existing complete staging dir (resume after a crash)."""
+    d = f"{work}/{name}"
+    done = f"{d}/.done"
+    if not os.path.exists(done):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        for k in ([None] if slices is None else range(slices)):
+            t0 = time.time()
+            part = f"{d}/part_{0 if k is None else k}.parquet"
+            con.execute(f"COPY ({sql_fn(k)}) TO '{part}' (FORMAT PARQUET)")
+            log(f"stage {name}" + ("" if k is None else f" slice {k}") +
+                f": {time.time() - t0:.1f}s")
+        open(done, "w").close()
+    else:
+        log(f"stage {name}: reusing staged parquet")
+    con.execute(f"CREATE OR REPLACE VIEW {name} AS "
+                f"SELECT * FROM '{d}/part_*.parquet'")
+
+
+def oracle_pagerank(con, work, ns):
+    # e0 (the distinct trade edge set) sliced by custkey — (c,s) has one
+    # c, so per-slice DISTINCT unions to the global DISTINCT. Everything
+    # downstream is a linear join against node-sized build tables.
+    staged(con, work, "e0", lambda k:
+           "SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s "
+           "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+           f"WHERE o.o_custkey % {ns} = {k}", slices=ns)
+    con.execute("CREATE OR REPLACE VIEW e AS "
+                "SELECT c AS src, 1000000 + s AS dst FROM e0 "
+                "UNION ALL SELECT 1000000 + s AS src, c AS dst FROM e0")
+    con.execute("CREATE OR REPLACE TABLE deg AS "
+                "SELECT src, count(*) AS d FROM e GROUP BY 1")
+    con.execute("CREATE OR REPLACE TABLE nodes AS "
+                "SELECT DISTINCT src AS id FROM e")
+    log("deg + nodes built")
+    con.execute("CREATE OR REPLACE TABLE i1 AS "
+                "SELECT e.dst AS id, "
+                "  CAST(sum(1000000000 // deg.d) AS BIGINT) AS inflow "
+                "FROM e JOIN deg USING (src) GROUP BY 1")
+    con.execute("CREATE OR REPLACE TABLE r1 AS "
+                "SELECT n.id, CAST(floor(1.5e-1 * 1e9 + 8.5e-1 * "
+                "  CAST(COALESCE(i1.inflow, 0) AS DOUBLE)) AS BIGINT) AS r "
+                "FROM nodes n LEFT JOIN i1 USING (id)")
+    log("round 1 done")
+    con.execute("CREATE OR REPLACE TABLE i2 AS "
+                "SELECT e.dst AS id, "
+                "  CAST(sum(r1.r // deg.d) AS BIGINT) AS inflow "
+                "FROM e JOIN deg USING (src) JOIN r1 ON r1.id = e.src "
+                "GROUP BY 1")
+    log("round 2 done")
+    return con.execute(
+        "SELECT n.id AS node_id, CAST(floor(1.5e-1 * 1e9 + 8.5e-1 * "
+        "  CAST(COALESCE(i2.inflow, 0) AS DOUBLE)) AS BIGINT) AS rank_q "
+        "FROM nodes n LEFT JOIN i2 USING (id) ORDER BY node_id").fetchdf()
+
+
+def oracle_graph_degree(con, work, ns):
+    # cs = same distinct edge set; cf = customer-degree-capped. The
+    # quadratic stage (per-customer supplier pairs, grouped to shared
+    # counts) slices by hash(a.i): every output group (lo, hi) has one
+    # lo, so slices are disjoint and each slice's GROUP BY is 1/ns-sized.
+    staged(con, work, "e0", lambda k:
+           "SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s "
+           "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+           f"WHERE o.o_custkey % {ns} = {k}", slices=ns)
+    staged(con, work, "cf", lambda k:
+           "SELECT c, i FROM (SELECT c, s AS i, "
+           "  count(*) OVER (PARTITION BY c) AS deg FROM e0) "
+           "WHERE deg <= 500")
+    staged(con, work, "p", lambda k:
+           "SELECT a.i AS lo, b.i AS hi, count(*) AS sh "
+           "FROM cf a JOIN cf b ON a.c = b.c AND a.i < b.i "
+           f"WHERE hash(a.i) % {ns} = {k} GROUP BY 1, 2", slices=ns)
+    mu = con.execute(
+        "SELECT CAST(CAST(sum(sh) AS BIGINT) AS DOUBLE) / "
+        "CAST(count(*) AS DOUBLE) FROM p").fetchone()[0]
+    log(f"mu = {mu}")
+    return con.execute(
+        "WITH e AS (SELECT lo, hi FROM p "
+        f"  WHERE CAST(sh AS DOUBLE) >= 1.08e0 * {mu!r}), "
+        "d AS (SELECT node, count(*) AS degree FROM ("
+        "  SELECT lo AS node FROM e UNION ALL SELECT hi AS node FROM e) "
+        "GROUP BY 1) "
+        "SELECT degree, count(*) AS n_nodes FROM d "
+        "GROUP BY 1 ORDER BY degree").fetchdf()
+
+
+def oracle_minhash_md5(con, work, ns):
+    # Signatures are linear — staged once (sliced only to bound each
+    # query's md5 burst). The band-bucket self-join slices by
+    # hash(x.doc_id): each output pair has one doc_a, so slices are
+    # disjoint; the y side stays full but is only signature-sized.
+    staged(con, work, "sig", lambda k:
+           "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+           f"  FROM documents WHERE hash(doc_id) % {ns} = {k}), "
+           "sh0 AS (SELECT doc_id, list_distinct(list_transform("
+           "  range(0, greatest(len(toks) - 1, 0)), "
+           "  i -> concat(toks[CAST(i+1 AS INT)], ' ', "
+           "              toks[CAST(i+2 AS INT)]))) AS sh FROM t), "
+           "s AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0) "
+           "SELECT doc_id, list_transform(range(0, 16), j -> "
+           "  list_min(list_transform(sh, x -> "
+           "    md5(concat(CAST(j AS VARCHAR), '|', x))))) AS sig "
+           "FROM s", slices=ns)
+    con.execute("CREATE OR REPLACE VIEW bk AS "
+                "SELECT doc_id, b, array_to_string("
+                "  sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], '') "
+                "  AS bucket "
+                "FROM (SELECT doc_id, sig, unnest(range(0, 4)) AS b "
+                "      FROM sig)")
+    staged(con, work, "pairs", lambda k:
+           "WITH cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b "
+           "  FROM bk x JOIN bk y "
+           "  ON x.b = y.b AND x.bucket = y.bucket "
+           "     AND x.doc_id < y.doc_id "
+           f"  WHERE hash(x.doc_id) % {ns} = {k} GROUP BY 1, 2), "
+           "est AS (SELECT c.doc_a, c.doc_b, "
+           "  CAST(list_sum(list_transform(range(1, 17), i -> "
+           "    CASE WHEN a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)] "
+           "         THEN 1 ELSE 0 END)) AS BIGINT) AS matches "
+           "  FROM cand c "
+           "  JOIN sig a ON a.doc_id = c.doc_a "
+           "  JOIN sig b ON b.doc_id = c.doc_b) "
+           "SELECT doc_a, doc_b, CAST(matches AS DOUBLE) / 16 "
+           "  AS est_jaccard "
+           "FROM est WHERE matches >= 8", slices=ns)
+    return con.execute(
+        "SELECT * FROM pairs ORDER BY doc_a, doc_b").fetchdf()
+
+
+def oracle_embed_pairs_lsh(con, work, ns):
+    # The quantized-vector table is tiny; the in-bucket pair join slices
+    # by bucket value — a pair lives in exactly one bucket, so slices
+    # are disjoint and each costs sum(n_b^2) over its buckets only.
+    staged(con, work, "n", lambda k:
+           "SELECT vec_id, list_transform(embedding, "
+           "  x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS qv, "
+           "  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + "
+           "  (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) + "
+           "  (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + "
+           "  (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) + "
+           "  (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) + "
+           "  (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket "
+           "FROM embeddings")
+    con.execute("CREATE OR REPLACE VIEW nn AS "
+                "SELECT vec_id, qv, bucket, CAST(list_sum("
+                "  list_transform(qv, x -> x*x)) AS BIGINT) AS n2 FROM n")
+    staged(con, work, "pairs", lambda k:
+           "SELECT * FROM ("
+           "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+           "  CAST(CAST(list_sum(list_transform(range(1, 65), "
+           "    i -> a.qv[i]*b.qv[i])) AS BIGINT) AS DOUBLE) / "
+           "    sqrt(CAST(a.n2 AS DOUBLE)*CAST(b.n2 AS DOUBLE)) "
+           "    AS cosine "
+           "FROM nn a JOIN nn b ON a.bucket = b.bucket "
+           f"WHERE b.vec_id > a.vec_id AND a.bucket % {ns} = {k} "
+           f"  AND b.bucket % {ns} = {k}"
+           ") WHERE cosine >= 0.3", slices=ns)
+    return con.execute("SELECT id_a, id_b, cosine FROM pairs "
+                       "ORDER BY id_a, id_b").fetchdf()
+
+
+ORACLES = {
+    "q_pagerank": oracle_pagerank,
+    "q_graph_degree": oracle_graph_degree,
+    "q_dedup_minhash_md5": oracle_minhash_md5,
+    "q_embed_pairs_lsh": oracle_embed_pairs_lsh,
+}
+
+
+def main():
+    sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
+    ns = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    if name not in ORACLES:
+        print(f"FAIL {name}: no sliced oracle "
+              f"(have: {' '.join(sorted(ORACLES))})")
+        sys.exit(2)
+    work = f"/tmp/slicecmp_{name}"
+    os.makedirs(work, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET temp_directory='{work}/duckspill'")
+    con.execute("SET memory_limit='24GB'")
+    threads = os.environ.get("COMPARE_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    t0 = time.time()
+    oracle = ORACLES[name](con, work, ns)
+    log(f"oracle total {time.time() - t0:.1f}s, {len(oracle)} rows")
+    spark = con.execute(
+        f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+    spark = spark[sorted(spark.columns)]
+    oracle = oracle[sorted(oracle.columns)]
+    if list(spark.columns) != list(oracle.columns):
+        print(f"FAIL {name}: columns {list(spark.columns)} "
+              f"vs {list(oracle.columns)}")
+        sys.exit(1)
+    if len(spark) != len(oracle):
+        print(f"FAIL {name}: rows {len(spark)} vs {len(oracle)}")
+        sys.exit(1)
+    bad = first_mismatch(spark, oracle)
+    if bad:
+        i, c, x, y = bad
+        print(f"FAIL {name}: row {i} col {c}: spark={x!r} oracle={y!r}")
+        sys.exit(1)
+    print(f"PASS {name} ({len(spark)} rows, sliced oracle)")
+
+
+if __name__ == "__main__":
+    main()
