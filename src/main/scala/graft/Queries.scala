@@ -43,9 +43,19 @@ object Q {
   def sumD2(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
 
-  /** Same with scale 4 for products like extendedprice*(1-discount). */
-  def sumD4(c: Column): Column =
-    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+  /** Exact, order-independent SUM of a COMPUTED double product,
+    * quantized to 4 decimals via FLOOR: floor of an identical IEEE
+    * double is bit-equal cross-engine, whereas CAST(product AS
+    * DECIMAL(18,4)) tie-rounds differently in Spark (shortest string
+    * repr) vs DuckDB (full binary value) — the divergence the gen-sf30
+    * sweep surfaced in q_agg_hash at 180M rows (2 tie rows × 1e-4).
+    * Accumulates in DECIMAL(38,0) (never BIGINT: non-ANSI Spark wraps
+    * silently). Oracle mirror:
+    * CAST(SUM(CAST(FLOOR(x*10000) AS DECIMAL(38,0))) AS DOUBLE)/10000.
+    */
+  def sumFloorQ4(c: Column): Column =
+    (sum(floor(c * 10000).cast(DecimalType(38, 0))).cast(DoubleType)
+      / 10000)
 }
 
 object Queries {

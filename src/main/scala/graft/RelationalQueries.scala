@@ -225,15 +225,20 @@ object RelationalQueries {
     },
 
     // A17-adjacent: canonical pricing-summary hash aggregation. DECIMAL
-    // sums are exact → order-independent → oracle-stable.
+    // sums are exact → order-independent → oracle-stable. The computed
+    // product goes through the FLOOR-quantized form (sumFloorQ4, same
+    // as q_sql_text2): a direct DECIMAL(18,4) cast of the product
+    // tie-rounds differently per engine — green through gen-sf10, two
+    // tie rows apart at gen-sf30's 180M rows.
     sql("q_agg_hash")(
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-        |       AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+        |       * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000
+        |    AS sum_disc_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |    / COUNT(*) AS avg_qty,
         |  COUNT(*) AS count_order
@@ -244,7 +249,7 @@ object RelationalQueries {
         .agg(
           sumD2(col("l_quantity")).as("sum_qty"),
           sumD2(col("l_extendedprice")).as("sum_base_price"),
-          sumD4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          sumFloorQ4(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("sum_disc_price"),
           (sumD2(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
