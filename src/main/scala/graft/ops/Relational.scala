@@ -358,6 +358,15 @@ object Relational {
     * Result is row-identical to the plain join: every left row matches
     * exactly the replica carrying its salt. Supports inner/left joins
     * (right/full would need the salt on the other side).
+    *
+    * hint("shuffle_hash") on the replicated side: salting only does
+    * anything in a SHUFFLE join — if Catalyst broadcasts the replicated
+    * side (which it will: the Generate's size estimate passes through
+    * the un-replicated child, and a broadcast ignores the salt columns'
+    * partitioning entirely), the salt is dead weight and the skew the
+    * caller is mitigating lands on one task anyway. Shuffle-hash, not
+    * merge: the salt makes partitions uniform by construction, so the
+    * hash build needs no sort and no skew handling.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salts: Int, how: String = "inner"): DataFrame = {
@@ -368,6 +377,7 @@ object Relational {
         .cast("int"))
     val sr = right.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
-    sl.join(sr, Seq(key, "__salt"), how).drop("__salt")
+    sl.join(sr.hint("shuffle_hash"), Seq(key, "__salt"), how)
+      .drop("__salt")
   }
 }

@@ -114,6 +114,62 @@ class ScaleGuardSpec extends SparkSpec {
     assert(bnlj.nonEmpty, s"expected BroadcastNestedLoopJoin in:\n$plan")
   }
 
+  test("no query broadcasts a Generate (explode) output — the estimator " +
+    "cannot size one (round-11 sf30 finding: every band/posting self-join " +
+    "silently planned as BHJ of a corpus-scaling side, fatal at 8 GiB)") {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // Catalyst's sizeInBytes for Generate passes through the un-exploded
+    // child, so a broadcast decision over an exploded side is made on a
+    // number unrelated to the broadcast's true size and cannot be trusted
+    // at ANY scale — corpus pair joins must carry hint("merge") (or
+    // shuffle_hash) instead. Checked on the initial AQE plan: join-side
+    // hints survive AQE re-optimization, so planning-time shape holds.
+    //
+    // Exemptions: queries whose exploded broadcast side is BOUNDED by
+    // construction (model-/probe-sized, never corpus-scaling), so the
+    // mis-estimate is off by a known constant only. Additions here need
+    // the same justification.
+    val declaredBoundedExplodes: Set[String] = Set(
+      // bandJoin band side = part pre-aggregated to distinct prices,
+      // exploded ×2 buckets — dimension-shaped (ops/Relational.scala
+      // documents the no-hint decision)
+      "q_join_range",
+      // probe side = 20 query vectors × 9 multiprobe flips
+      "q_similarity_multiprobe",
+      // PQ codebook posexplode: k×m = 128 model cells
+      "q_pq_encode", "q_pq_adc",
+      // CMS sketch (depth×width = 4096 cells) and top-20 probe ×depth —
+      // fixed-memory sketch state on both sides
+      "q_heavy_hitters", "q_heavy_hitters_md5",
+      // label-dimension posexplode, model-sized
+      "q_confusion")
+    val bad = Queries.all
+      .filterNot(s => declaredBoundedExplodes.contains(s.name))
+      .flatMap { spec =>
+      try {
+        val plan = spec.fn(spark, dir).queryExecution.executedPlan
+        val expanded = plan +: plan.collect {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+        }
+        expanded.flatMap(_.collect {
+          case j: BroadcastHashJoinExec =>
+            val build = j.buildSide match {
+              case BuildLeft => j.left
+              case BuildRight => j.right
+            }
+            build.collect { case g: GenerateExec => g }
+              .map(g => s"${spec.name}: BroadcastHashJoin over " +
+                s"${g.generator.getClass.getSimpleName} " +
+                s"(keys ${j.leftKeys.map(_.sql).mkString(",").take(60)})")
+        }.flatten)
+      } catch { case _: Throwable => Seq.empty } // plan failures: other test
+    }
+    assert(bad.isEmpty, "exploded side under a broadcast:\n" +
+      bad.mkString("\n"))
+  }
+
   test("no query plans a global window or an unbroadcast cross join") {
     val bad = Queries.all.flatMap { spec =>
       try {
