@@ -170,6 +170,42 @@ class ScaleGuardSpec extends SparkSpec {
       bad.mkString("\n"))
   }
 
+  test("the merge hint on corpus pair joins survives AQE re-optimization " +
+    "(final executed plan, not just the initial one)") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      SortMergeJoinExec}
+    // The static test above checks the INITIAL adaptive plan; AQE
+    // re-plans each stage at runtime and (absent a hint) would convert
+    // the tiny sf0.001 SMJ to a broadcast join. Execute one blocked
+    // SimHash pair join to completion and assert the FINAL plan still
+    // sort-merges — i.e. the hint reached AQE's re-optimizer, so the
+    // planning-time invariant holds at every scale, not just in the
+    // pre-execution snapshot.
+    val df = Queries.queries("q_dedup_simhash")(spark, dir)
+    df.collect()
+    // Materialized query stages are LEAF nodes — collect stops at stage
+    // boundaries, so flatten them recursively to see the whole DAG.
+    def deep(p: SparkPlan): Seq[SparkPlan] =
+      p +: p.collect {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          deep(q.plan)
+      }.flatten
+    val finalPlans = df.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    }.flatMap(deep)
+    assert(finalPlans.nonEmpty, "expected an adaptive plan root")
+    val smj = finalPlans.flatMap(_.collect { case j: SortMergeJoinExec => j })
+    val bhjOverGenerate = finalPlans.flatMap(_.collect {
+      case j: BroadcastHashJoinExec
+        if j.collect { case g: GenerateExec => g }.nonEmpty => j
+    })
+    assert(smj.nonEmpty, "expected the pair join to stay sort-merge " +
+      s"after AQE:\n${finalPlans.head}")
+    assert(bhjOverGenerate.isEmpty,
+      s"AQE converted a hinted pair join to broadcast:\n${finalPlans.head}")
+  }
+
   test("no query plans a global window or an unbroadcast cross join") {
     val bad = Queries.all.flatMap { spec =>
       try {
