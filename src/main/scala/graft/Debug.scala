@@ -8,10 +8,10 @@ object Debug {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.tuned(SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.ui.enabled", "false"), cpus.toInt)
+        .config("spark.ui.enabled", "false"), Sessions.shuffleParts(cpus.toInt))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val q = Queries.queries(args.headOption.getOrElse("q_dedup_ngram"))
     val df = q(spark, dir)
     df.explain("formatted")

@@ -12,7 +12,19 @@ object Sessions {
   /** @param shufflePartitions size to ~2-3× total executor cores at the
     *        target scale (e.g. 8192 for 1000 executors × 4 cores) so
     *        AQE has partitions to coalesce DOWN from; too few starves
-    *        parallelism, far too many drowns the scheduler.
+    *        parallelism, far too many drowns the scheduler. This is a
+    *        per-DEPLOYMENT sizing, not a fixed multiplier of cores: the
+    *        gen-sf100 sweep measured both failure modes on the same
+    *        host — at partitions=cores=32, q_sql_text3's 600M-row sort
+    *        ran ~19M rows/partition and spilled so hard the warm run
+    *        was slower than the cold one (85 s vs 67 s; 256 partitions:
+    *        47 s, exactly linear vs sf30); while a blanket
+    *        initialPartitionNum=8×cores regressed the full sf0.1 suite
+    *        34 % host-normalized (256-way sorts on kB-sized shuffles —
+    *        AQE coalescing reduces reducer-side reads, not the 256 sort
+    *        spill files every map task still writes). The local harness
+    *        mains read SPARK_GRAFT_SHUFFLE_PARTS to apply the formula
+    *        per scale decade the same way a cluster deployment would.
     */
   def tuned(builder: SparkSession.Builder,
             shufflePartitions: Int): SparkSession.Builder =
@@ -48,6 +60,15 @@ object Sessions {
       // on to rewrite only touched buckets.
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.session.timeZone", "UTC")
+
+  /** Shuffle-partition count for the local harness mains: `cpus`
+    * unless SPARK_GRAFT_SHUFFLE_PARTS overrides it — the per-scale
+    * sizing hook the [[tuned]] scaladoc's formula calls for (scale
+    * sweeps at gen-sf ≥ 30 pass 256; the sf0.1 driver bench keeps
+    * partitions = cores).
+    */
+  def shuffleParts(cpus: Int): Int =
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS").map(_.toInt).getOrElse(cpus)
 
   /** A per-JVM throwaway `spark.sql.warehouse.dir`, deleted on JVM
     * exit. Harness mains (Verify/Bench) and the test session use this

@@ -24,7 +24,7 @@ object SlopeProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.tuned(SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.ui.enabled", "false"), cpus.toInt)
+        .config("spark.ui.enabled", "false"), Sessions.shuffleParts(cpus.toInt))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // `<sfDir> lsh [bits]` — time the LSH pair join at a given bucket
@@ -56,7 +56,14 @@ object SlopeProbe {
     // the 128-bit/4×32-bit wide form at ~4·n²/2^32. Quantifies why
     // q_dedup_simhash walled superlinear at gen-sf10 and why the wide
     // fingerprint is the corpus-scale path (Dedup.simhashWideTable).
+    // `<sfDir> simhash [--spaces-only]` — with --spaces-only, print the
+    // analytic candidate spaces (cheap aggregates) and skip the timed
+    // pair joins: at gen-sf100 the 16-bit band space is ~240 B candidate
+    // rows, so TIMING the narrow join is the blowup the numbers exist to
+    // warn about (the blocked form's wall is benched separately as the
+    // registered q_dedup_simhash).
     if (args.length > 1 && args(1) == "simhash") {
+      val spacesOnly = args.contains("--spaces-only")
       val docs = graft.io.Tables.table(spark, sfDir, "documents")
       def pairSpace(banded: org.apache.spark.sql.DataFrame): Long =
         banded.groupBy("band", "key").agg(count(lit(1)).as("c"))
@@ -94,6 +101,14 @@ object SlopeProbe {
         }: _*)).as("bk"))
         .select(col("bk.band").as("band"), col("bk.key").as("key"))
       val pB = pairSpace(bB)
+      if (spacesOnly) {
+        println(s"""{"sf":"$sfDir","mode":"simhash","n_docs":$n,""" +
+          s""""band16_candidate_pairs":$p64,""" +
+          s""""band32_candidate_pairs":$pW,""" +
+          s""""blocked_candidate_pairs":$pB}""")
+        spark.stop()
+        return
+      }
       // end-to-end wall of both pair joins (verified pairs out): the
       // candidate-space ratio above predicts the wall gap.
       def timePairs(wide: Boolean): (Long, Double) = {

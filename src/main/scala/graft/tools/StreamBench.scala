@@ -35,7 +35,7 @@ object StreamBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.tuned(SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.ui.enabled", "false"), cpus.toInt)
+        .config("spark.ui.enabled", "false"), Sessions.shuffleParts(cpus.toInt))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // transformWithState requires the RocksDB store; use it uniformly
