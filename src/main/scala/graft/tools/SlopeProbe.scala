@@ -50,6 +50,36 @@ object SlopeProbe {
       spark.stop()
       return
     }
+    // `<sfDir> minhash` — candidate-pair space of the registered
+    // q_dedup_minhash banding (n=2, k=32, bands=8), analytically
+    // (Σ C(count,2) per (band,bucket) — one aggregate, no join). On the
+    // closed-vocab corpus the BASELINE Jaccard between unrelated docs is
+    // high, so band collisions are not rare-random: this quantifies the
+    // candidate stream the exact-Jaccard verification must then carry
+    // doc-sized shingle arrays through.
+    if (args.length > 1 && args(1) == "minhash") {
+      val docs = graft.io.Tables.table(spark, sfDir, "documents")
+      val sets = graft.text.Dedup.shingleSets(docs, "text", "doc_id", 2)
+      val hashed = sets.filter(size(col("sh")) > 0)
+        .select(col("doc_id"), graft.text.Dedup.baseHashes(col("sh"))
+          .as("hs"))
+        .cache()
+      val n = hashed.count()
+      val sigs = hashed.select(col("doc_id"),
+        graft.text.Dedup.minhashSignature(col("hs"), 32).as("sig"))
+      val banded = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(7)),
+          b => xxhash64(b, slice(col("sig"), b * 4 + 1, lit(4)))))
+          .as(Seq("band", "bucket")))
+      val space = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0L))
+          .cast("long")).head().getLong(0)
+      println(s"""{"sf":"$sfDir","mode":"minhash","n_docs":$n,""" +
+        s""""band_candidate_pairs":$space}""")
+      spark.stop()
+      return
+    }
     // `<sfDir> simhash` — candidate-pair space of the banded SimHash
     // schemes, analytically (Σ C(count,2) per band key — one aggregate,
     // no join): 64-bit/4×16-bit bands collide at random ~4·n²/2^16,
