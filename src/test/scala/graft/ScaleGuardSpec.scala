@@ -132,9 +132,12 @@ class ScaleGuardSpec extends SparkSpec {
     // mis-estimate is off by a known constant only. Additions here need
     // the same justification.
     val declaredBoundedExplodes: Set[String] = Set(
-      // bandJoin band side = part pre-aggregated to distinct prices,
-      // exploded ×2 buckets — dimension-shaped (ops/Relational.scala
-      // documents the no-hint decision)
+      // bandJoin's exploded side = supplier bands (×2 bucket
+      // replication) joined to part pre-aggregated to distinct prices
+      // — dim-shaped through the swept decades (~48 MB at gen-sf100,
+      // measured linear 3.2×); ops/Relational.scala documents the
+      // no-hint decision and points corpus-scaled band callers at
+      // intervalJoin's always-shuffle form
       "q_join_range",
       // probe side = 20 query vectors × 9 multiprobe flips
       "q_similarity_multiprobe",
