@@ -36,6 +36,12 @@ object Native {
   def minhashSig(hs: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(hs), k))
 
+  /** Codegen'd positional-agreement count between two signatures (see
+    * [[SigAgree]]) — `sigAgree(a, b) / k` estimates Jaccard.
+    */
+  def sigAgree(a: Column, b: Column): Column =
+    Bridge.column(SigAgree(Bridge.expression(a), Bridge.expression(b)))
+
   private[functions] val registrations
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
@@ -59,6 +65,13 @@ object Native {
               s"minhash_sig k must be an INT literal, got $other")
           }
           MinHashSig(args(0), k)
+        }),
+      (
+        FunctionIdentifier("sig_agree"),
+        new ExpressionInfo(classOf[SigAgree].getName, "sig_agree"),
+        { args =>
+          require(args.length == 2, "sig_agree takes exactly 2 arguments")
+          SigAgree(args(0), args(1))
         }))
 
   /** Register the native functions on a live session (idempotent —

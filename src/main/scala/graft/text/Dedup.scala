@@ -234,12 +234,68 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH banding with the signature-estimate PREFILTER fused into the
+    * band join — stage one of two-stage verification. The banded rows
+    * carry the full signature, so the estimated Jaccard (agreeing
+    * positions / k, Broder '97) is computed inline on the join output
+    * and candidates below `minAgree` agreements are dropped BEFORE the
+    * distinct shuffle and the shingle-array attach joins. The signature
+    * payload (k longs) rides only the banded table's sort — n·bands
+    * rows — never the candidate stream, and the join output is
+    * pipeline-fused (SMJ → sig_agree → filter) so pruned candidates
+    * never touch disk.
+    */
+  def minhashCandidatesEst(sigs: DataFrame, k: Int, bands: Int,
+                           minAgree: Int): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, s"bands=$bands must divide k=$k")
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)))))
+        .as(Seq("band", "bucket")))
+    banded.as("x").hint("merge").join(banded.as("y").hint("merge"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(graft.functions.Native.sigAgree(col("x.sig"), col("y.sig"))
+        >= minAgree)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
-    * join → exact-Jaccard verification of the candidates.
+    * join → signature-estimate prefilter → exact-Jaccard verification
+    * of the surviving candidates.
+    *
+    * TWO-STAGE VERIFICATION (the corpus-scale contract): the exact
+    * verification attaches two per-doc shingle arrays (~doc-sized
+    * payload) to every candidate; at gen-sf100 the registered banding
+    * produced a measured-n² 279M-row candidate stream on the saturated
+    * corpus and the attach joins ENOSPC'd at ~600 GB of sort spill.
+    * Stage one therefore estimates Jaccard from the already-computed
+    * k-hash signature — O(1) payload, codegen'd
+    * ([[graft.functions.SigAgree]]) — and only candidates with at least
+    * `ceil(k·(minJaccard − prefilterSigmas·σ))` agreeing positions
+    * reach the exact stage, where σ = sqrt(minJaccard·(1−minJaccard)/k)
+    * is the estimator's standard deviation at the threshold.
+    *
+    * Recall contract: a band-colliding pair gets ≥ r = k/bands
+    * agreements free (the colliding band's slice is equal), so a TRUE
+    * pair (exact Jaccard j ≥ τ) is pruned only when its OTHER k−r
+    * positions agree fewer than ceil(k·(τ − s·σ)) − r times — a
+    * Binomial(k−r, j) lower tail. At the registered parameters
+    * (k=32, bands=8, τ=0.5, s=3 → minAgree=8) that is
+    * P[Binom(28, 0.5) ≤ 3] ≈ 1.4e-5 per boundary pair, and it decays
+    * geometrically above the boundary (j=0.55 → ~1e-7, j=0.6 → ~1e-9);
+    * measured old-vs-new symmetric diff is zero at gen-sf0.1–sf30
+    * (SURVEY §6.1). `prefilterSigmas = Double.PositiveInfinity`
+    * disables the prefilter (bit-exact single-stage semantics); the
+    * plain path is also taken automatically when the computed minAgree
+    * ≤ r, where the filter could never prune a collision.
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   n: Int, k: Int, bands: Int,
-                   minJaccard: Double): DataFrame = {
+                   n: Int, k: Int, bands: Int, minJaccard: Double,
+                   prefilterSigmas: Double = 3.0): DataFrame = {
     val sets = shingleSets(df, textCol, idCol, n).cache()
     // Cached so `hs` is a real attribute when the signature lambda reads
     // it: CollapseProject would otherwise inline the per-shingle string
@@ -250,7 +306,15 @@ object Dedup {
       .cache()
     val sigs = hashed
       .select(col("doc_id"), minhashSignature(col("hs"), k).as("sig"))
-    verifyJaccard(minhashCandidates(sigs, k, bands), sets, minJaccard)
+    val sigma = math.sqrt(minJaccard * (1.0 - minJaccard) / k)
+    val minAgree =
+      if (prefilterSigmas.isPosInfinity) 0
+      else math.ceil(k * (minJaccard - prefilterSigmas * sigma)).toInt
+    val cand =
+      if (minAgree > k / bands) minhashCandidatesEst(sigs, k, bands,
+        minAgree)
+      else minhashCandidates(sigs, k, bands)
+    verifyJaccard(cand, sets, minJaccard)
   }
 
   /** 64-bit SimHash over the token bag: bit i of the hash of each token

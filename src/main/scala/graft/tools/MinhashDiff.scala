@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Sessions
+
+/** Differential check for the two-stage MinHash verification
+  * (Dedup.minhashPairs with the signature-estimate prefilter vs the
+  * single-stage exact pipeline): runs BOTH at the registered
+  * q_dedup_minhash parameters (n=2, k=32, bands=8, τ=0.5) on one sf
+  * dir and prints the symmetric difference. The prefilter's recall
+  * contract (Dedup.minhashPairs scaladoc) predicts ≤ ~1.4e-5 misses
+  * per exact-boundary pair; this tool is the per-decade measurement
+  * behind the "measured zero diff" claim in SURVEY §6.1.
+  *
+  * Usage: `runMain graft.tools.MinhashDiff <sfDir>`.
+  */
+object MinhashDiff {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.tuned(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.ui.enabled", "false"),
+        Sessions.shuffleParts(cpus.toInt, sfDir))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.io.Tables.table(spark, sfDir, "documents")
+    def run(sigmas: Double) =
+      graft.text.Dedup.minhashPairs(docs, "text", "doc_id",
+          n = 2, k = 32, bands = 8, minJaccard = 0.5,
+          prefilterSigmas = sigmas)
+        .select("doc_a", "doc_b", "n_inter", "n_union")
+    val t0 = System.nanoTime()
+    val twoStage = run(3.0).cache()
+    val nNew = twoStage.count()
+    val sNew = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val single = run(Double.PositiveInfinity).cache()
+    val nOld = single.count()
+    val sOld = (System.nanoTime() - t1) / 1e9
+    val missed = single.exceptAll(twoStage).count()
+    val extra = twoStage.exceptAll(single).count()
+    println(s"""{"sf":"$sfDir","mode":"minhash_diff",""" +
+      s""""pairs_two_stage":$nNew,"sec_two_stage":$sNew,""" +
+      s""""pairs_single_stage":$nOld,"sec_single_stage":$sOld,""" +
+      s""""missed_by_prefilter":$missed,"extra":$extra}""")
+    spark.stop()
+  }
+}

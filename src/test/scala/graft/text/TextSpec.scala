@@ -77,6 +77,59 @@ class TextSpec extends SparkSpec {
     assert(planted.nonEmpty && planted.subsetOf(mh))
   }
 
+  test("two-stage minhash: prefiltered pairs identical to single-stage" +
+      " on the real corpus") {
+    def pairs(sigmas: Double) =
+      Dedup.minhashPairs(docs, "text", "doc_id", 2, 32, 8, 0.5,
+          prefilterSigmas = sigmas)
+        .select("doc_a", "doc_b", "n_inter", "n_union")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val twoStage = pairs(3.0) // registered default: minAgree = 8 of 32
+    val exact = pairs(Double.PositiveInfinity) // prefilter disabled
+    assert(twoStage == exact && exact.nonEmpty)
+  }
+
+  test("signature-estimate prefilter prunes a band-lucky low-jaccard" +
+      " pair, keeps true near-dups") {
+    // doc 3 is unrelated prose; docs 1/2 are near-identical. With
+    // bands=k (r=1) every shared minhash position is its own band, so
+    // ANY agreement makes a candidate — the est filter is what must
+    // separate the j≈0 collision from the true pair.
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.shingleSets(df, "text", "doc_id", 2)
+      .filter(size($"sh") > 0)
+      .select($"doc_id", Dedup.baseHashes($"sh").as("hs"))
+      .select($"doc_id", Dedup.minhashSignature($"hs", 32).as("sig"))
+    val all = Dedup.minhashCandidatesEst(sigs, 32, 32, minAgree = 1)
+      .as[(Long, Long)].collect().toSet
+    val filtered = Dedup.minhashCandidatesEst(sigs, 32, 32, minAgree = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(filtered.contains((1L, 2L)))
+    assert(!filtered.exists { case (a, b) => a == 3L || b == 3L })
+    // the unfiltered candidate set is a superset (est only prunes)
+    assert(filtered.subsetOf(all))
+  }
+
+  test("minhashCandidatesEst at a non-pruning threshold equals the" +
+      " plain band candidates") {
+    val sigs = Dedup.shingleSets(docs, "text", "doc_id", 2)
+      .filter(size($"sh") > 0)
+      .select($"doc_id", Dedup.baseHashes($"sh").as("hs"))
+      .select($"doc_id", Dedup.minhashSignature($"hs", 32).as("sig"))
+      .cache()
+    val plain = Dedup.minhashCandidates(sigs, 32, 8)
+      .as[(Long, Long)].collect().toSet
+    // any band collision carries r = 4 free agreements, so minAgree = 4
+    // can never prune — the two forms must agree bit for bit
+    val est = Dedup.minhashCandidatesEst(sigs, 32, 8, minAgree = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(est == plain && plain.nonEmpty)
+  }
+
   test("maxDf prunes viral shingles from ngram postings, keeps rare ones") {
     // Docs 1-4 all share the stop-phrase "click here to continue now"
     // (df=4 for its shingles); only 1 and 2 also share a rare phrase.
