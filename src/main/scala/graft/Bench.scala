@@ -19,7 +19,7 @@ object Bench {
     val spark = Sessions.tuned(SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.warehouse.dir", Sessions.tempWarehouse())
-        .config("spark.ui.enabled", "false"), Sessions.shuffleParts(cpus.toInt))
+        .config("spark.ui.enabled", "false"), Sessions.shuffleParts(cpus.toInt, sfDir))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Prime the shared machinery (shuffle service, parquet footers,

@@ -70,6 +70,42 @@ object Sessions {
   def shuffleParts(cpus: Int): Int =
     sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS").map(_.toInt).getOrElse(cpus)
 
+  /** Shuffle-partition count AUTO-SIZED from the input data: `cpus` for
+    * small inputs, growing one partition per 64 MB of compressed
+    * parquet once the sf dir outgrows `cpus × 64 MB`. 64 MB zstd
+    * parquet ≈ 200–250 MB raw ≈ ~2M rows of the widest fact table per
+    * partition — an order of magnitude under the measured sort-spill
+    * point (the gen-sf100 sweep: 600M-row sort at 19M rows/partition
+    * spilled so hard warm ran slower than cold; at 256 partitions it
+    * was exactly linear vs sf30 — this formula yields 288 there, the
+    * same regime). Below the knee the count stays `cpus`, where the
+    * blanket 8×cores experiment measured a 34 % sf0.1 regression from
+    * per-map sort-spill file count. SPARK_GRAFT_SHUFFLE_PARTS still
+    * overrides — the deployment knob wins over the heuristic.
+    */
+  def shuffleParts(cpus: Int, sfDir: String): Int =
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS").map(_.toInt).getOrElse {
+      math.max(cpus, (inputBytes(sfDir) / (64L << 20)).toInt)
+    }
+
+  /** Total compressed bytes of the parquet files under `dir` (each
+    * table is either a bare `<name>.parquet` file or a Spark output
+    * directory of part files — walk covers both). Unreadable/missing
+    * dirs size as 0 so session construction never fails on sizing.
+    */
+  def inputBytes(dir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) 0L
+    else Using.resource(java.nio.file.Files.walk(root)) {
+      _.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          java.nio.file.Files.isRegularFile(p))
+        .map(java.nio.file.Files.size(_)).sum
+    }
+  }
+
   /** A per-JVM throwaway `spark.sql.warehouse.dir`, deleted on JVM
     * exit. Harness mains (Verify/Bench) and the test session use this
     * so managed tables (bucketed PIT memos, spec tables) never land in

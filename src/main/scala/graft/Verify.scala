@@ -50,7 +50,7 @@ object Verify {
     val spark = Sessions.tuned(SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.warehouse.dir", Sessions.tempWarehouse())
-        .config("spark.ui.enabled", "false"), Sessions.shuffleParts(cpus.toInt))
+        .config("spark.ui.enabled", "false"), Sessions.shuffleParts(cpus.toInt, sfDir))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

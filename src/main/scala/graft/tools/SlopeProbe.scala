@@ -24,7 +24,7 @@ object SlopeProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.tuned(SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.ui.enabled", "false"), Sessions.shuffleParts(cpus.toInt))
+        .config("spark.ui.enabled", "false"), Sessions.shuffleParts(cpus.toInt, sfDir))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // `<sfDir> lsh [bits]` — time the LSH pair join at a given bucket
@@ -75,8 +75,21 @@ object SlopeProbe {
         .agg(count(lit(1)).as("c"))
         .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0L))
           .cast("long")).head().getLong(0)
+      // `--survivors`: also execute the two-stage prefilter (the
+      // registered minAgree = 8-of-32 signature-estimate gate,
+      // Dedup.minhashCandidatesEst) and count the DISTINCT candidates
+      // that reach the exact shingle-array verification — the number
+      // that must track output pairs, not the n²-ish band space, for
+      // the attach joins to survive corpus scale. Costs the real band
+      // join (streamed, sig-only payload), so it is opt-in where the
+      // analytic space alone is wanted.
+      val survivors = if (args.contains("--survivors")) {
+        val c = graft.text.Dedup
+          .minhashCandidatesEst(sigs, 32, 8, minAgree = 8).count()
+        s""","prefilter_survivors":$c"""
+      } else ""
       println(s"""{"sf":"$sfDir","mode":"minhash","n_docs":$n,""" +
-        s""""band_candidate_pairs":$space}""")
+        s""""band_candidate_pairs":$space$survivors}""")
       spark.stop()
       return
     }
@@ -140,26 +153,31 @@ object SlopeProbe {
         return
       }
       // end-to-end wall of both pair joins (verified pairs out): the
-      // candidate-space ratio above predicts the wall gap.
-      def timePairs(wide: Boolean): (Long, Double) = {
+      // candidate-space ratio above predicts the wall gap. Each timed
+      // run starts from a CLEARED cache so all three pipelines pay
+      // their own fingerprinting (the Dedup builders cache their
+      // fingerprint tables internally; narrow and blocked share
+      // simhashTable's plan, wide has its own — an asymmetric warm-up
+      // would exclude fingerprinting from some walls but not others).
+      // JIT/codegen infrastructure is warmed by a neutral job instead
+      // of a full narrow pair join (which at corpus scale IS the
+      // quadratic blowup the probe exists to warn about).
+      def timed(body: => org.apache.spark.sql.DataFrame): (Long, Double) = {
+        spark.catalog.clearCache()
         val t = System.nanoTime()
-        val rows = (if (wide)
-            graft.text.Dedup.simhashPairsWide(docs, "text", "doc_id", 3)
-          else graft.text.Dedup.simhashPairs(docs, "text", "doc_id", 3))
-          .count()
+        val rows = body.count()
         (rows, (System.nanoTime() - t) / 1e9)
       }
-      // Warm codegen/JIT before the timed runs (same treatment as the
-      // lsh mode) — otherwise compile cost lands in narrow_sec and
-      // biases the narrow-vs-blocked wall comparison.
-      timePairs(wide = false)
-      val (r64, s64) = timePairs(wide = false)
-      val (rW, sW) = timePairs(wide = true)
+      spark.range(1000000L)
+        .select(xxhash64(col("id")).as("h"))
+        .groupBy(col("h") % 7).agg(count(lit(1))).count() // warm JIT
+      val (r64, s64) = timed(
+        graft.text.Dedup.simhashPairs(docs, "text", "doc_id", 3))
+      val (rW, sW) = timed(
+        graft.text.Dedup.simhashPairsWide(docs, "text", "doc_id", 3))
       // blocked form: same 64-bit fingerprint and output, 2^-40 keys
-      val tB0 = System.nanoTime()
-      val rB = graft.text.Dedup.simhashPairsBlocked(
-        docs, "text", "doc_id", 3).count()
-      val sB = (System.nanoTime() - tB0) / 1e9
+      val (rB, sB) = timed(
+        graft.text.Dedup.simhashPairsBlocked(docs, "text", "doc_id", 3))
       println(s"""{"sf":"$sfDir","mode":"simhash","n_docs":$n,""" +
         s""""band16_candidate_pairs":$p64,""" +
         s""""band32_candidate_pairs":$pW,""" +

@@ -14,4 +14,32 @@ class SessionsSpec extends AnyFunSuite {
     assert(s.conf.get("spark.sql.sources.partitionOverwriteMode")
       == "dynamic")
   }
+
+  test("shuffleParts auto-sizes from input bytes: cpus floor, one" +
+      " partition per 64 MB above the knee") {
+    assume(sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS").isEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sizing")
+    def fake(name: String, mb: Int): Unit = {
+      val f = dir.resolve(name)
+      val ch = java.nio.file.Files.newByteChannel(f,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      ch.position(mb.toLong * 1048576 - 1)
+      ch.write(java.nio.ByteBuffer.wrap(Array[Byte](0)))
+      ch.close()
+    }
+    fake("lineitem.parquet", 1024) // 16 partitions' worth
+    fake("orders.parquet", 512)    // 8 more
+    fake("notes.txt", 64)          // ignored: not parquet
+    assert(Sessions.inputBytes(dir.toString) == 1536L * 1048576)
+    // below the knee the core count wins; above, bytes/64MB wins
+    assert(Sessions.shuffleParts(32, dir.toString) == 32)
+    assert(Sessions.shuffleParts(8, dir.toString) == 24)
+    // missing dir sizes as zero and falls back to cpus
+    assert(Sessions.shuffleParts(32, dir.toString + "/nope") == 32)
+    // tables as Spark output DIRECTORIES of part files count too
+    java.nio.file.Files.createDirectories(dir.resolve("sub"))
+    fake("sub/part-0.parquet", 64)
+    assert(Sessions.shuffleParts(8, dir.toString) == 25)
+  }
 }
