@@ -17,6 +17,7 @@ comparator as tools/compare.py.
 Usage: compare_sliced.py <sfDir> <verifyOutDir> <query> [nslices=16]
 Queries: q_pagerank q_graph_degree q_dedup_minhash_md5 q_embed_pairs_lsh
 """
+import hashlib
 import os
 import shutil
 import sys
@@ -35,13 +36,27 @@ def log(msg):
     print(f"[sliced {time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def staged(con, work, name, sql_fn, slices=None):
+INPUT_STAMP = ""  # set by main(): identifies the sf_dir being staged
+
+
+def staged(con, work, name, sql_fn, slices=None, stamp=None):
     """Materialize a stage to <work>/<name>/ parquet (one file per slice,
     or a single file when slices is None) and register it as a view.
-    Reuses an existing complete staging dir (resume after a crash)."""
+    Reuses an existing complete staging dir (resume after a crash) ONLY
+    when its .done marker records the same input stamp (sf_dir) — the
+    work dir is already keyed on sf_dir, but the marker check also
+    catches data regenerated in place under the same path name."""
+    if stamp is None:
+        stamp = INPUT_STAMP
     d = f"{work}/{name}"
     done = f"{d}/.done"
-    if not os.path.exists(done):
+    reuse = False
+    if os.path.exists(done):
+        with open(done) as f:
+            reuse = f.read() == stamp
+        if not reuse:
+            log(f"stage {name}: staged for a different input, rebuilding")
+    if not reuse:
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d)
         for k in ([None] if slices is None else range(slices)):
@@ -50,7 +65,8 @@ def staged(con, work, name, sql_fn, slices=None):
             con.execute(f"COPY ({sql_fn(k)}) TO '{part}' (FORMAT PARQUET)")
             log(f"stage {name}" + ("" if k is None else f" slice {k}") +
                 f": {time.time() - t0:.1f}s")
-        open(done, "w").close()
+        with open(done, "w") as f:
+            f.write(stamp)
     else:
         log(f"stage {name}: reusing staged parquet")
     con.execute(f"CREATE OR REPLACE VIEW {name} AS "
@@ -114,6 +130,12 @@ def oracle_graph_degree(con, work, ns):
     mu = con.execute(
         "SELECT CAST(CAST(sum(sh) AS BIGINT) AS DOUBLE) / "
         "CAST(count(*) AS DOUBLE) FROM p").fetchone()[0]
+    if mu is None:  # empty pair table (tiny/degenerate input) — say so
+        # rather than interpolating the literal None into the threshold
+        # SQL and dying on a parse error
+        print("FAIL q_graph_degree: staged pair table is empty "
+              "(degenerate input?) — no mean to threshold against")
+        sys.exit(1)
     log(f"mu = {mu}")
     return con.execute(
         "WITH e AS (SELECT lo, hi FROM p "
@@ -215,7 +237,14 @@ def main():
         print(f"FAIL {name}: no sliced oracle "
               f"(have: {' '.join(sorted(ORACLES))})")
         sys.exit(2)
-    work = f"/tmp/slicecmp_{name}"
+    # Key the work dir on the INPUT as well as the query: staged oracle
+    # parquet from one scale decade must never be compared against a
+    # Spark dump from another (the tool's expected usage is exactly
+    # "same query, many sf dirs").
+    global INPUT_STAMP
+    INPUT_STAMP = os.path.abspath(sf_dir)
+    sf_key = hashlib.sha1(INPUT_STAMP.encode()).hexdigest()[:10]
+    work = f"/tmp/slicecmp_{sf_key}_{name}"
     os.makedirs(work, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET temp_directory='{work}/duckspill'")
