@@ -22,7 +22,16 @@ import org.apache.spark.sql.types._
   * plus a trailing " dup" marker, ~0.17% are exact copies) and the
   * 30-word vocabulary; `embeddings` are unit-normalized dim-64 vectors.
   *
-  * Usage: `runMain graft.tools.GenData <outDir> <sf>`.
+  * Usage: `runMain graft.tools.GenData <outDir> <sf> [--open-vocab]`.
+  *
+  * `--open-vocab` writes ONLY an open-vocabulary `documents.parquet`
+  * (Zipf-drawn tokens over a Heaps-law-sized vocabulary, same planted
+  * near-dup structure — see [[openVocabText]]): the closed 30-word
+  * vocabulary makes baseline Jaccard between UNRELATED documents
+  * unrealistically high, so the dedup-family scale sweeps on it
+  * measure corpus saturation, not the engine (VERDICT r11 missing #1).
+  * The dedup/text slopes read only `documents`, so the variant dir
+  * stays cheap (no fact tables).
   */
 object GenData {
 
