@@ -95,15 +95,19 @@ object Sessions {
     */
   def inputBytes(dir: String): Long = {
     import scala.jdk.CollectionConverters._
-    import scala.util.Using
+    import scala.util.{Try, Using}
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(root)) 0L
-    else Using.resource(java.nio.file.Files.walk(root)) {
+    else Try(Using.resource(java.nio.file.Files.walk(root)) {
       _.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet") &&
           java.nio.file.Files.isRegularFile(p))
-        .map(java.nio.file.Files.size(_)).sum
-    }
+        // a file can vanish mid-walk (concurrent GenData staging dir)
+        .map(p => Try(java.nio.file.Files.size(p)).getOrElse(0L)).sum
+      // Files.walk throws UncheckedIOException from the iterator on an
+      // unreadable subdirectory — size the whole dir as 0 rather than
+      // fail session construction
+    }).getOrElse(0L)
   }
 
   /** A per-JVM throwaway `spark.sql.warehouse.dir`, deleted on JVM

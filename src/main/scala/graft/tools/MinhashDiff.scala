@@ -12,7 +12,18 @@ import graft.Sessions
   * dir and prints the symmetric difference. The prefilter's recall
   * contract (Dedup.minhashPairs scaladoc) predicts ≤ ~1.4e-5 misses
   * per exact-boundary pair; this tool is the per-decade measurement
-  * behind the "measured zero diff" claim in SURVEY §6.1.
+  * behind SURVEY §6.1's two-stage-verification record, and it appends
+  * its JSON line to `sweeps/sweep_minhash_diff.jsonl` (SweepLog).
+  *
+  * TIMING IS SYMMETRIC (r12 verdict defect 1): Dedup.minhashPairs
+  * caches its shingle/hash tables per call and the CacheManager
+  * plan-matches them across calls, so whichever side runs second
+  * would inherit the first side's cached tables — the r12 run printed
+  * 42.9 s vs 18.5 s for identical-input pipelines purely from that
+  * asymmetric warm. Each timed side now starts from
+  * `spark.catalog.clearCache()` after a neutral JIT warm, mirroring
+  * SlopeProbe.timed; the pair-set diff runs afterwards as a separate
+  * untimed pass where shared caches are welcome.
   *
   * Usage: `runMain graft.tools.MinhashDiff <sfDir> [--two-stage-only]`.
   * `--two-stage-only` skips the single-stage side — at gen-sf100 the
@@ -38,21 +49,32 @@ object MinhashDiff {
           n = 2, k = 32, bands = 8, minJaccard = 0.5,
           prefilterSigmas = sigmas)
         .select("doc_a", "doc_b", "n_inter", "n_union")
-    val t0 = System.nanoTime()
-    val twoStage = run(3.0).cache()
-    val nNew = twoStage.count()
-    val sNew = (System.nanoTime() - t0) / 1e9
+    // neutral JIT/codegen warm (NOT a minhash pipeline — that would
+    // leave one side's tables cached and re-introduce the bias)
+    spark.range(1000000L)
+      .select(xxhash64(col("id")).as("h"))
+      .groupBy(col("h") % 7).agg(count(lit(1))).count()
+    def timed(sigmas: Double): (Long, Double) = {
+      spark.catalog.clearCache()
+      val t = System.nanoTime()
+      val rows = run(sigmas).count()
+      (rows, (System.nanoTime() - t) / 1e9)
+    }
+    val (nNew, sNew) = timed(3.0)
     if (twoStageOnly) {
-      println(s"""{"sf":"$sfDir","mode":"minhash_diff",""" +
+      SweepLog.append("minhash_diff",
+        s"""{"sf":"$sfDir","mode":"minhash_diff",""" +
         s""""pairs_two_stage":$nNew,"sec_two_stage":$sNew}""")
     } else {
-      val t1 = System.nanoTime()
+      val (nOld, sOld) = timed(Double.PositiveInfinity)
+      // untimed equality pass — shared shingle/signature caches are
+      // fine here (both sides read the same cached tables)
+      val twoStage = run(3.0).cache()
       val single = run(Double.PositiveInfinity).cache()
-      val nOld = single.count()
-      val sOld = (System.nanoTime() - t1) / 1e9
       val missed = single.exceptAll(twoStage).count()
       val extra = twoStage.exceptAll(single).count()
-      println(s"""{"sf":"$sfDir","mode":"minhash_diff",""" +
+      SweepLog.append("minhash_diff",
+        s"""{"sf":"$sfDir","mode":"minhash_diff",""" +
         s""""pairs_two_stage":$nNew,"sec_two_stage":$sNew,""" +
         s""""pairs_single_stage":$nOld,"sec_single_stage":$sOld,""" +
         s""""missed_by_prefilter":$missed,"extra":$extra}""")

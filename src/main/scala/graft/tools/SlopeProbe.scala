@@ -16,7 +16,11 @@ import graft.Sessions
   * blowup itself. See SURVEY §5 (scaling slope) for the recorded
   * numbers and the 100 TB reading.
   *
-  * Usage: `runMain graft.tools.SlopeProbe <sfDir>`.
+  * Usage: `runMain graft.tools.SlopeProbe <sfDir>` (graph + ngram
+  * analytics), or `<sfDir> lsh [bits]` / `<sfDir> minhash
+  * [--survivors]` / `<sfDir> simhash [--spaces-only]` / `<sfDir>
+  * ngram` — each mode appends its JSON line to
+  * `sweeps/sweep_<mode>.jsonl` (SweepLog) as well as printing it.
   */
 object SlopeProbe {
   def main(args: Array[String]): Unit = {
@@ -45,7 +49,8 @@ object SlopeProbe {
       }
       timePairs(bits) // warm codegen
       val (rows, sec) = timePairs(bits)
-      println(s"""{"sf":"$sfDir","mode":"lsh","n":$n,"bits":$bits,""" +
+      SweepLog.append("lsh",
+        s"""{"sf":"$sfDir","mode":"lsh","n":$n,"bits":$bits,""" +
         s""""pairs":$rows,"sec":$sec}""")
       spark.stop()
       return
@@ -88,7 +93,8 @@ object SlopeProbe {
           .minhashCandidatesEst(sigs, 32, 8, minAgree = 8).count()
         s""","prefilter_survivors":$c"""
       } else ""
-      println(s"""{"sf":"$sfDir","mode":"minhash","n_docs":$n,""" +
+      SweepLog.append("minhash",
+        s"""{"sf":"$sfDir","mode":"minhash","n_docs":$n,""" +
         s""""band_candidate_pairs":$space$survivors}""")
       spark.stop()
       return
@@ -145,7 +151,8 @@ object SlopeProbe {
         .select(col("bk.band").as("band"), col("bk.key").as("key"))
       val pB = pairSpace(bB)
       if (spacesOnly) {
-        println(s"""{"sf":"$sfDir","mode":"simhash","n_docs":$n,""" +
+        SweepLog.append("simhash",
+          s"""{"sf":"$sfDir","mode":"simhash","n_docs":$n,""" +
           s""""band16_candidate_pairs":$p64,""" +
           s""""band32_candidate_pairs":$pW,""" +
           s""""blocked_candidate_pairs":$pB}""")
@@ -178,13 +185,39 @@ object SlopeProbe {
       // blocked form: same 64-bit fingerprint and output, 2^-40 keys
       val (rB, sB) = timed(
         graft.text.Dedup.simhashPairsBlocked(docs, "text", "doc_id", 3))
-      println(s"""{"sf":"$sfDir","mode":"simhash","n_docs":$n,""" +
+      SweepLog.append("simhash",
+        s"""{"sf":"$sfDir","mode":"simhash","n_docs":$n,""" +
         s""""band16_candidate_pairs":$p64,""" +
         s""""band32_candidate_pairs":$pW,""" +
         s""""blocked_candidate_pairs":$pB,""" +
         s""""narrow_pairs":$r64,"narrow_sec":$s64,""" +
         s""""wide_pairs":$rW,"wide_sec":$sW,""" +
         s""""blocked_pairs":$rB,"blocked_sec":$sB}""")
+      spark.stop()
+      return
+    }
+    // `<sfDir> ngram` — ONLY the n-gram-Jaccard candidate-space
+    // analytics (the tail of the default mode, documents-only): lets
+    // the probe run on `--open-vocab` variant dirs, which hold just
+    // documents.parquet (GenData scaladoc) and have no trade graph.
+    if (args.length > 1 && args(1) == "ngram") {
+      val df = graft.text.Dedup.shingleSets(
+          graft.io.Tables.table(spark, sfDir, "documents"),
+          "text", "doc_id", n = 3)
+        .select(explode(col("sh")).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 10000L)
+      val ngram = df.agg(
+          coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0L))
+            .cast("long").as("pairs"),
+          count(lit(1)).as("shingles"),
+          max(col("df")).as("max_df"))
+        .head()
+      SweepLog.append("ngram",
+        s"""{"sf":"$sfDir","mode":"ngram",""" +
+        s""""ngram_candidate_pairs":${ngram.getLong(0)},""" +
+        s""""ngram_distinct_shingles":${ngram.getLong(1)},""" +
+        s""""ngram_max_df":${ngram.getLong(2)}}""")
       spark.stop()
       return
     }
@@ -220,7 +253,8 @@ object SlopeProbe {
         count(lit(1)).as("shingles"),
         max(col("df")).as("max_df"))
       .head()
-    println(s"""{"sf":"$sfDir","n_edges":$nEdges,""" +
+    SweepLog.append("graph_ngram",
+      s"""{"sf":"$sfDir","mode":"graph_ngram","n_edges":$nEdges,""" +
       s""""predicted_wedges":$predictedWedges,"edge_build_sec":$sec,""" +
       s""""ngram_candidate_pairs":${ngram.getLong(0)},""" +
       s""""ngram_distinct_shingles":${ngram.getLong(1)},""" +
