@@ -107,6 +107,65 @@ class GenDataSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("--open-vocab documents: same schema and planted dup structure " +
+      "as the closed-vocab table, Heaps-law vocabulary growth, and a " +
+      "realistically LOW unrelated-pair Jaccard (the property the " +
+      "closed 30-word corpus lacks)") {
+    val dA = Files.createTempDirectory("genov_a").toString
+    val dB = Files.createTempDirectory("genov_b").toString
+    GenData.writeOpenVocab(spark, dA, 0.001) // nDoc = 500
+    GenData.writeOpenVocab(spark, dB, 0.02)  // nDoc = 1000
+    // ONLY documents.parquet is written (the dedup slopes read nothing
+    // else; fact tables would make the variant dir expensive for free)
+    val filesA = new java.io.File(dA).listFiles().map(_.getName).toSet
+    assert(filesA == Set("documents.parquet"), s"unexpected files $filesA")
+    val ov = spark.read.parquet(s"$dA/documents.parquet")
+    val closed = spark.read.parquet(s"$dir/documents.parquet")
+    assert(ov.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      closed.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // planted structure: ~5% trailing-dup markers, exact copies exist
+    val n = ov.count().toDouble
+    val near = ov.filter($"text".endsWith(" dup")).count()
+    assert(near / n > 0.02 && near / n < 0.09, s"near-dup frac ${near / n}")
+    assert(ov.groupBy("text").count().filter($"count" > 1).count() > 0)
+    // Heaps growth: distinct tokens grow with corpus size (√-law via
+    // openVocabSize) — and far beyond the closed 30-word dictionary
+    def vocab(d: String): Long = spark.read.parquet(s"$d/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS w").agg(
+        countDistinct($"w")).head().getLong(0)
+    val vA = vocab(dA)
+    val vB = vocab(dB)
+    assert(vA > 300, s"open vocab too small: $vA")
+    assert(vB > vA * 1.2, s"vocabulary did not grow: $vA -> $vB")
+    // unrelated docs should share almost nothing: estimate baseline
+    // 2-gram Jaccard over adjacent NON-dup doc pairs — on the closed
+    // corpus this saturates near 0.5+; open-vocab must sit near 0
+    import graft.text.Dedup
+    val sets = Dedup.shingleSets(
+      ov.filter(!$"text".endsWith(" dup")), "text", "doc_id", 2)
+    val j = sets.as("a").join(sets.as("b"),
+        $"a.doc_id" + 1 === $"b.doc_id")
+      .select((size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+        size(array_union($"a.sh", $"b.sh"))).as("j"))
+      .agg(avg($"j")).head().getDouble(0)
+    assert(j < 0.05, s"baseline Jaccard not low: $j")
+  }
+
+  test("--open-vocab generation is deterministic and " +
+      "partitioning-independent") {
+    val d1 = Files.createTempDirectory("genov_d1").toString
+    val d2 = Files.createTempDirectory("genov_d2").toString
+    GenData.writeOpenVocab(spark, d1, 0.001)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      GenData.writeOpenVocab(spark, d2, 0.001)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    val a = spark.read.parquet(s"$d1/documents.parquet")
+    val b = spark.read.parquet(s"$d2/documents.parquet")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("generation is deterministic and partitioning-independent " +
       "(xxhash64(id)-derived, not rand(seed))") {
     val d2 = Files.createTempDirectory("gendata2").toString

@@ -43,9 +43,10 @@ def staged(con, work, name, sql_fn, slices=None, stamp=None):
     """Materialize a stage to <work>/<name>/ parquet (one file per slice,
     or a single file when slices is None) and register it as a view.
     Reuses an existing complete staging dir (resume after a crash) ONLY
-    when its .done marker records the same input stamp (sf_dir) — the
-    work dir is already keyed on sf_dir, but the marker check also
-    catches data regenerated in place under the same path name."""
+    when its .done marker records the same input stamp — the sf_dir
+    path plus each input parquet's (name, size, mtime_ns), so the
+    marker also catches data regenerated in place under the same path
+    name (which leaves the abspath unchanged but not the mtimes)."""
     if stamp is None:
         stamp = INPUT_STAMP
     d = f"{work}/{name}"
@@ -242,8 +243,17 @@ def main():
     # Spark dump from another (the tool's expected usage is exactly
     # "same query, many sf dirs").
     global INPUT_STAMP
-    INPUT_STAMP = os.path.abspath(sf_dir)
-    sf_key = hashlib.sha1(INPUT_STAMP.encode()).hexdigest()[:10]
+    # path + per-file (name, size, mtime_ns): staged parquet is stale
+    # both across sf dirs AND after in-place regeneration of one
+    files = sorted(
+        (f, os.path.getsize(p), os.stat(p).st_mtime_ns)
+        for f in os.listdir(sf_dir) if f.endswith(".parquet")
+        for p in [os.path.join(sf_dir, f)])
+    INPUT_STAMP = f"{os.path.abspath(sf_dir)}|{files!r}"
+    # work-dir key stays path-only so a regeneration REUSES (and
+    # rebuilds inside) the same dir instead of leaking a new one
+    sf_key = hashlib.sha1(
+        os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     work = f"/tmp/slicecmp_{sf_key}_{name}"
     os.makedirs(work, exist_ok=True)
     con = duckdb.connect()
