@@ -1,7 +1,10 @@
 package graft
 
 import org.apache.spark.sql.functions._
+
 import org.apache.spark.sql.types._
+
+import graft.Hints.MergeHintOps
 
 import graft.text.{Dedup, PQ, Rank, Similarity, Sketches, TextOps}
 
@@ -501,8 +504,8 @@ object TextQueries {
         posexplode(transform(sequence(lit(0), lit(3)), b =>
           concat_ws("", slice(col("fp"), b * 16 + 1, lit(16)))))
           .as(Seq("bd", "key")))
-      val cand = banded.as("x").hint("merge")
-        .join(banded.as("y").hint("merge"),
+      val cand = banded.as("x").mergeHint
+        .join(banded.as("y").mergeHint,
           col("x.bd") === col("y.bd") && col("x.key") === col("y.key") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -576,7 +579,7 @@ object TextQueries {
           transform(sequence(lit(0), lit(k - 1)), j =>
             md5(concat(j.cast(StringType), lit("|"), col("sh1"))))
             .as("hs"))
-      val sigs = docShingle.hint("merge").join(hashes.hint("merge"), "sh1")
+      val sigs = docShingle.mergeHint.join(hashes.mergeHint, "sh1")
         .groupBy("doc_id")
         .agg(aggregate(collect_list(col("hs")),
           array_repeat(lit("~"), k),
@@ -586,8 +589,8 @@ object TextQueries {
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           concat_ws("", slice(col("sig"), b * r + 1, lit(r)))))
           .as(Seq("b", "bucket")))
-      val cand = banded.as("x").hint("merge")
-        .join(banded.as("y").hint("merge"),
+      val cand = banded.as("x").mergeHint
+        .join(banded.as("y").mergeHint,
           col("x.b") === col("y.b") &&
             col("x.bucket") === col("y.bucket") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -597,8 +600,8 @@ object TextQueries {
         col("sig").as("sig_a"))
       val sb = sigs.select(col("doc_id").as("doc_b"),
         col("sig").as("sig_b"))
-      cand.hint("merge").join(sa.hint("merge"), "doc_a")
-        .join(sb.hint("merge"), "doc_b")
+      cand.mergeHint.join(sa.mergeHint, "doc_a")
+        .join(sb.mergeHint, "doc_b")
         .withColumn("matches",
           aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1L).otherwise(0L)),
@@ -1343,7 +1346,7 @@ object TextQueries {
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)
         .select(col("span"), lit(1L).as("__dup"))
-      spans.hint("merge").join(dup.hint("merge"), Seq("span"), "left")
+      spans.mergeHint.join(dup.mergeHint, Seq("span"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"),
           sum(coalesce(col("__dup"), lit(0L))).as("n_dup_spans"))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Hints.MergeHintOps
+
 /** Relational operator library backing SURVEY.md §2.2. Everything here is
   * declarative DataFrame composition — Catalyst keeps pushdown/pruning/AQE
   * working through these helpers.
@@ -252,8 +254,8 @@ object Relational {
     // sweep caught the sibling defect failing at 8 GiB in the SimHash
     // band join). SMJ is what correct stats would pick; AQE still
     // handles skew/coalesce on the shuffle.
-    banded(a, aStart, aEnd).as("a").hint("merge")
-      .join(banded(b, bStart, bEnd).as("b").hint("merge"),
+    banded(a, aStart, aEnd).as("a").mergeHint
+      .join(banded(b, bStart, bEnd).as("b").mergeHint,
         col("a.__bkt") === col("b.__bkt") &&
           col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
       .drop("__bkt")

@@ -2,7 +2,10 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
 import org.apache.spark.sql.types._
+
+import graft.Hints.MergeHintOps
 
 /** Near-duplicate detection: exact, n-gram Jaccard, MinHash+LSH, SimHash.
   *
@@ -109,8 +112,8 @@ object Dedup {
           .filter(col("df") <= maxDf)
           .drop("df")
       }
-    val inter = posts.as("x").hint("merge").join(
-        posts.as("y").hint("merge"),
+    val inter = posts.as("x").mergeHint.join(
+        posts.as("y").mergeHint,
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
           col("y.sz") >= col("x.sz") * minJaccard - 0.5 &&
           col("x.sz") >= col("y.sz") * minJaccard - 0.5)
@@ -161,8 +164,8 @@ object Dedup {
         posts(corpus).withColumn("df", count(lit(1)).over(byShingle))
           .filter(col("df") <= maxDf).drop("df")
       }
-    posts(probe).as("p").hint("merge").join(
-        corpusPosts.as("c").hint("merge"),
+    posts(probe).as("p").mergeHint.join(
+        corpusPosts.as("c").mergeHint,
         col("p.s") === col("c.s"))
       .groupBy(col("p.doc_id").as("probe_id"),
         col("c.doc_id").as("corpus_id"), col("p.sz").as("sz_p"))
@@ -179,11 +182,11 @@ object Dedup {
   def verifyJaccard(cand: DataFrame, sets: DataFrame,
                     minJaccard: Double): DataFrame =
     cand
-      .hint("merge")
+      .mergeHint
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        .hint("merge"), "doc_a")
+        .mergeHint, "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        .hint("merge"), "doc_b")
+        .mergeHint, "doc_b")
       .withColumn("n_inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
       .withColumn("n_union",
@@ -226,7 +229,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)))))
         .as(Seq("band", "bucket")))
-    banded.as("x").hint("merge").join(banded.as("y").hint("merge"),
+    banded.as("x").mergeHint.join(banded.as("y").mergeHint,
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -253,7 +256,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)))))
         .as(Seq("band", "bucket")))
-    banded.as("x").hint("merge").join(banded.as("y").hint("merge"),
+    banded.as("x").mergeHint.join(banded.as("y").mergeHint,
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -375,7 +378,7 @@ object Dedup {
         .as("bk"))
       .select(col("doc_id"), col("fp"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("x").hint("merge").join(banded.as("y").hint("merge"),
+    banded.as("x").mergeHint.join(banded.as("y").mergeHint,
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -438,7 +441,7 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("fp_lo"), col("fp_hi"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("x").hint("merge").join(banded.as("y").hint("merge"),
+    banded.as("x").mergeHint.join(banded.as("y").mergeHint,
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -480,7 +483,7 @@ object Dedup {
       explode(array(tables: _*)).as("bk"))
       .select(col("doc_id"), col("fp"),
         col("bk.tbl").as("tbl"), col("bk.key").as("key"))
-    banded.as("x").hint("merge").join(banded.as("y").hint("merge"),
+    banded.as("x").mergeHint.join(banded.as("y").mergeHint,
         col("x.tbl") === col("y.tbl") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

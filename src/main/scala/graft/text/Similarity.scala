@@ -3,7 +3,10 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
 import org.apache.spark.sql.types._
+
+import graft.Hints.MergeHintOps
 
 /** Similarity search over embedding columns (ARRAY<FLOAT>), north_star
   * surface: brute-force cosine top-k as the exact baseline, plus a
@@ -370,7 +373,7 @@ object Similarity {
       col("qv").as("qa"), col("n2").as("na2"))
     val rhs = base.select(col("bucket"), col("id").as("id_b"),
       col("qv").as("qb"), col("n2").as("nb2"))
-    lhs.hint("merge").join(rhs.hint("merge"), Seq("bucket"))
+    lhs.mergeHint.join(rhs.mergeHint, Seq("bucket"))
       .filter(col("id_b") > col("id_a"))
       .withColumn("cosine",
         qcosine(col("qa"), col("na2"), col("qb"), col("nb2")))
