@@ -1,0 +1,41 @@
+#!/bin/bash
+# gen-sf30 sliced-oracle spot extension (VERDICT r11 item 5 / r12 item
+# 6): ~10 mid-cost join/window/sessionize queries, Spark-dumped once,
+# then DuckDB-compared per query with a 900 s budget and results
+# appended to sweeps/sweep_spot_sf30.jsonl. Run AFTER any bench —
+# a spilling oracle can fill the disk under a concurrent Spark run
+# (playbook: three r10 bench "failures" were exactly this).
+set -u
+cd /root/repo
+QS="q_sessionize q_scd2 q_resample_ffill q_cooccur_window \
+q_window_analytic q_window_sliding q_window_rank q_window_tumbling \
+q_join_salted q_join_asof_nearest q_rank_bm25"
+OUT=/tmp/vout_spot30
+LOG=/tmp/spot_sf30.log
+ART=sweeps/sweep_spot_sf30.jsonl
+mkdir -p sweeps
+: > "$LOG"
+if [ "${1:-}" != "--compare-only" ]; then
+  echo "[spot $(date +%H:%M:%S)] dumping: $QS" | tee -a "$LOG"
+  SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.Verify gendata/sf30 $OUT $QS" \
+    >> "$LOG" 2>&1
+  echo "[spot] dump rc=$?" | tee -a "$LOG"
+fi
+for q in $QS; do
+  if [ ! -d "$OUT/$q" ]; then
+    echo "{\"sf\":\"gendata/sf30\",\"query\":\"$q\",\"status\":\"no_dump\"}" >> "$ART"
+    continue
+  fi
+  t0=$(date +%s)
+  timeout 900 python3 tools/compare.py gendata/sf30 "$OUT" "$q" > /tmp/spot_one.log 2>&1
+  rc=$?
+  dt=$(( $(date +%s) - t0 ))
+  if [ $rc = 124 ]; then st=oracle_timeout
+  elif grep -q "^PASS $q" /tmp/spot_one.log; then st=pass
+  else st=fail; fi
+  rows=$(grep -oE "\(([0-9]+) rows\)" /tmp/spot_one.log | grep -oE "[0-9]+" | head -1)
+  echo "{\"sf\":\"gendata/sf30\",\"query\":\"$q\",\"status\":\"$st\",\"sec\":$dt,\"rows\":${rows:-null}}" >> "$ART"
+  echo "[spot $(date +%H:%M:%S)] $q: $st (${dt}s)" | tee -a "$LOG"
+  if [ $st = fail ]; then grep "^FAIL" /tmp/spot_one.log | head -2 | tee -a "$LOG"; fi
+done
+echo "[spot] done" | tee -a "$LOG"
