@@ -12,7 +12,11 @@ import org.apache.spark.sql.DataFrame
   * verdicts asked for (is the hint costing anything at gate scale where
   * the broadcast would fit?) — it is NOT a deployment knob: with the
   * hints off, the gen-sf30+ pair joins re-enter the
-  * broadcast-underestimate failure mode.
+  * broadcast-underestimate failure mode. Verdict of that A/B
+  * (SURVEY §6.1 "Merge-hint calm-window A/B",
+  * sweeps/sweep_merge_hint_ab.jsonl): +0.7 s mean across the ENTIRE
+  * 157-query sf0.1 suite, within the arms' calibration overlap — the
+  * hints stay unconditional.
   */
 object Hints {
   private val disabled = sys.env.contains("SPARK_GRAFT_NO_MERGE_HINT")
