@@ -18,8 +18,8 @@ import graft.Sessions
   *
   * Usage: `runMain graft.tools.SlopeProbe <sfDir>` (graph + ngram
   * analytics), or `<sfDir> lsh [bits]` / `<sfDir> minhash
-  * [--survivors]` / `<sfDir> simhash [--spaces-only]` / `<sfDir>
-  * ngram` — each mode appends its JSON line to
+  * [--survivors]` / `<sfDir> simhash [--spaces-only | --no-narrow]` /
+  * `<sfDir> ngram` — each mode appends its JSON line to
   * `sweeps/sweep_<mode>.jsonl` (SweepLog) as well as printing it.
   */
 object SlopeProbe {
@@ -110,9 +110,15 @@ object SlopeProbe {
     // pair joins: at gen-sf100 the 16-bit band space is ~240 B candidate
     // rows, so TIMING the narrow join is the blowup the numbers exist to
     // warn about (the blocked form's wall is benched separately as the
-    // registered q_dedup_simhash).
+    // registered q_dedup_simhash). `--no-narrow` times the blocked and
+    // wide joins but skips the narrow one — the 5M-doc decades where
+    // blocked/wide are linear-in-output (tens of M candidates) while
+    // the 16-bit space is 15 B+ pairs whose shuffle would ENOSPC the
+    // sweep box; blocked = narrow output equality is asserted at the
+    // decades where narrow runs, not here.
     if (args.length > 1 && args(1) == "simhash") {
       val spacesOnly = args.contains("--spaces-only")
+      val noNarrow = args.contains("--no-narrow")
       val docs = graft.io.Tables.table(spark, sfDir, "documents")
       def pairSpace(banded: org.apache.spark.sql.DataFrame): Long =
         banded.groupBy("band", "key").agg(count(lit(1)).as("c"))
@@ -178,19 +184,21 @@ object SlopeProbe {
       spark.range(1000000L)
         .select(xxhash64(col("id")).as("h"))
         .groupBy(col("h") % 7).agg(count(lit(1))).count() // warm JIT
-      val (r64, s64) = timed(
-        graft.text.Dedup.simhashPairs(docs, "text", "doc_id", 3))
+      val narrow = if (noNarrow) None else Some(timed(
+        graft.text.Dedup.simhashPairs(docs, "text", "doc_id", 3)))
       val (rW, sW) = timed(
         graft.text.Dedup.simhashPairsWide(docs, "text", "doc_id", 3))
       // blocked form: same 64-bit fingerprint and output, 2^-40 keys
       val (rB, sB) = timed(
         graft.text.Dedup.simhashPairsBlocked(docs, "text", "doc_id", 3))
+      val narrowJson = narrow.map { case (r64, s64) =>
+        s""""narrow_pairs":$r64,"narrow_sec":$s64,""" }.getOrElse("")
       SweepLog.append("simhash",
         s"""{"sf":"$sfDir","mode":"simhash","n_docs":$n,""" +
         s""""band16_candidate_pairs":$p64,""" +
         s""""band32_candidate_pairs":$pW,""" +
         s""""blocked_candidate_pairs":$pB,""" +
-        s""""narrow_pairs":$r64,"narrow_sec":$s64,""" +
+        narrowJson +
         s""""wide_pairs":$rW,"wide_sec":$sW,""" +
         s""""blocked_pairs":$rB,"blocked_sec":$sB}""")
       spark.stop()

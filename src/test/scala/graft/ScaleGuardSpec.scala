@@ -209,6 +209,21 @@ class ScaleGuardSpec extends SparkSpec {
       s"AQE converted a hinted pair join to broadcast:\n${finalPlans.head}")
   }
 
+  test("the registered q_dedup_minhash plan carries the signature-estimate " +
+    "prefilter (sig_agree) — the two-stage default; a silent fallback to " +
+    "single-stage would reintroduce the gen-sf100 attach-join spill " +
+    "(~600 GB, ENOSPC) that the prefilter cuts to ~35 GB") {
+    val df = Queries.queries("q_dedup_minhash")(spark, dir)
+    val sigAgree = df.queryExecution.optimizedPlan.collect {
+      case node => node.expressions.flatMap(_.collect {
+        case e: graft.functions.SigAgree => e
+      })
+    }.flatten
+    assert(sigAgree.nonEmpty,
+      "expected the SigAgree prefilter in q_dedup_minhash's optimized " +
+        s"plan; two-stage default lost?\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("no query plans a global window or an unbroadcast cross join") {
     val bad = Queries.all.flatMap { spec =>
       try {
