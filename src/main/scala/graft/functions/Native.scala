@@ -42,6 +42,20 @@ object Native {
   def sigAgree(a: Column, b: Column): Column =
     Bridge.column(SigAgree(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Low-byte signature packing for the byte-proxy prefilter (see
+    * [[SigPack]]) — k longs → k/8 longs of payload.
+    */
+  def sigPack(sig: Column): Column =
+    Bridge.column(SigPack(Bridge.expression(sig)))
+
+  /** Byte-agreement count between two packed signatures (see
+    * [[SigAgreeBytes]]) — `sigAgreeBytes(pack(a), pack(b)) >=
+    * sigAgree(a, b)` always.
+    */
+  def sigAgreeBytes(a: Column, b: Column): Column =
+    Bridge.column(
+      SigAgreeBytes(Bridge.expression(a), Bridge.expression(b)))
+
   private[functions] val registrations
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
@@ -72,6 +86,22 @@ object Native {
         { args =>
           require(args.length == 2, "sig_agree takes exactly 2 arguments")
           SigAgree(args(0), args(1))
+        }),
+      (
+        FunctionIdentifier("sig_pack"),
+        new ExpressionInfo(classOf[SigPack].getName, "sig_pack"),
+        { args =>
+          require(args.length == 1, "sig_pack takes exactly 1 argument")
+          SigPack(args(0))
+        }),
+      (
+        FunctionIdentifier("sig_agree_bytes"),
+        new ExpressionInfo(classOf[SigAgreeBytes].getName,
+          "sig_agree_bytes"),
+        { args =>
+          require(args.length == 2,
+            "sig_agree_bytes takes exactly 2 arguments")
+          SigAgreeBytes(args(0), args(1))
         }))
 
   /** Register the native functions on a live session (idempotent —

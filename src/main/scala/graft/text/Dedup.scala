@@ -239,20 +239,35 @@ object Dedup {
 
   /** LSH banding with the signature-estimate PREFILTER fused into the
     * band join — stage one of two-stage verification. The banded rows
-    * carry the full signature, so the estimated Jaccard (agreeing
-    * positions / k, Broder '97) is computed inline on the join output
-    * and candidates below `minAgree` agreements are dropped BEFORE the
-    * distinct shuffle and the shingle-array attach joins. The signature
-    * payload (k longs) rides only the banded table's sort — n·bands
-    * rows — never the candidate stream, and the join output is
-    * pipeline-fused (SMJ → sig_agree → filter) so pruned candidates
-    * never touch disk.
+    * carry a BYTE-PACKED signature ([[graft.functions.SigPack]]: each
+    * value's low byte, k/8 longs — 32 B at k=32 instead of 256 B), so
+    * the estimated agreement count (byte-agreements, a one-sided proxy
+    * for the Broder '97 estimator: value equality implies byte
+    * equality, false byte matches at P = 1/256 per disagreeing
+    * position) is computed inline on the join output and candidates
+    * below `minAgree` agreements are dropped BEFORE the distinct
+    * shuffle and the shingle-array attach joins. The packed payload
+    * rides only the banded table's sort — n·bands rows — never the
+    * candidate stream, and the join output is pipeline-fused
+    * (SMJ → sig_agree_bytes → filter) so pruned candidates never touch
+    * disk. Because the proxy errs only toward keeping candidates, the
+    * recall of any threshold is ≥ the full-signature gate's; survivors
+    * inflate by ≤ E[Binom(k − agree, 1/256)] ≈ 0.1 expected false
+    * agreements per pair at k=32. k not divisible by 8 falls back to
+    * the full-signature gate.
     */
   def minhashCandidatesEst(sigs: DataFrame, k: Int, bands: Int,
                            minAgree: Int): DataFrame = {
     val r = k / bands
     require(bands * r == k, s"bands=$bands must divide k=$k")
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val packed = k % 8 == 0
+    val carry =
+      if (packed) graft.functions.Native.sigPack(col("sig")).as("sigp")
+      else col("sig").as("sigp")
+    def agree(a: Column, b: Column): Column =
+      if (packed) graft.functions.Native.sigAgreeBytes(a, b)
+      else graft.functions.Native.sigAgree(a, b)
+    val banded = sigs.select(col("doc_id"), carry,
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)))))
         .as(Seq("band", "bucket")))
@@ -260,8 +275,7 @@ object Dedup {
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
-      .filter(graft.functions.Native.sigAgree(col("x.sig"), col("y.sig"))
-        >= minAgree)
+      .filter(agree(col("x.sigp"), col("y.sigp")) >= minAgree)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
   }
@@ -276,11 +290,17 @@ object Dedup {
     * produced a measured-n² 279M-row candidate stream on the saturated
     * corpus and the attach joins ENOSPC'd at ~600 GB of sort spill.
     * Stage one therefore estimates Jaccard from the already-computed
-    * k-hash signature — O(1) payload, codegen'd
-    * ([[graft.functions.SigAgree]]) — and only candidates with at least
-    * `ceil(k·(minJaccard − prefilterSigmas·σ))` agreeing positions
-    * reach the exact stage, where σ = sqrt(minJaccard·(1−minJaccard)/k)
-    * is the estimator's standard deviation at the threshold.
+    * k-hash signature — O(1) payload, codegen'd — and only candidates
+    * with at least `ceil(k·(minJaccard − prefilterSigmas·σ))` agreeing
+    * positions reach the exact stage, where σ =
+    * sqrt(minJaccard·(1−minJaccard)/k) is the estimator's standard
+    * deviation at the threshold. When 8 | k (the registered k=32) the
+    * banded table carries the low-byte-packed signature
+    * ([[graft.functions.SigPack]], k/8 longs) and the gate counts byte
+    * agreements ([[graft.functions.SigAgreeBytes]]) — an 8× payload
+    * cut whose proxy error is one-sided toward KEEPING candidates;
+    * otherwise the full signature rides with
+    * [[graft.functions.SigAgree]].
     *
     * Recall contract: a band-colliding pair gets ≥ r = k/bands
     * agreements free (the colliding band's slice is equal), so a TRUE
@@ -288,7 +308,9 @@ object Dedup {
     * positions agree fewer than ceil(k·(τ − s·σ)) − r times — a
     * Binomial(k−r, j) lower tail. At the registered parameters
     * (k=32, bands=8, τ=0.5, s=3 → minAgree=8) that is
-    * P[Binom(28, 0.5) ≤ 3] ≈ 1.4e-5 per boundary pair, and it decays
+    * P[Binom(28, 0.5) ≤ 3] ≈ 1.4e-5 per boundary pair (an upper bound
+    * for the byte gate, whose false byte-matches only add agreements),
+    * and it decays
     * geometrically above the boundary (j=0.55 → ~1e-7, j=0.6 → ~1e-9);
     * measured two-stage-vs-single-stage symmetric diff is zero at
     * testdata sf0.1, gen-sf3/sf10/sf30 and open-vocab

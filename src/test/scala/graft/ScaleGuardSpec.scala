@@ -214,14 +214,16 @@ class ScaleGuardSpec extends SparkSpec {
     "single-stage would reintroduce the gen-sf100 attach-join spill " +
     "(~600 GB, ENOSPC) that the prefilter cuts to ~35 GB") {
     val df = Queries.queries("q_dedup_minhash")(spark, dir)
-    val sigAgree = df.queryExecution.optimizedPlan.collect {
+    val gate = df.queryExecution.optimizedPlan.collect {
       case node => node.expressions.flatMap(_.collect {
-        case e: graft.functions.SigAgree => e
+        case e: graft.functions.SigAgreeBytes => e: Any
+        case e: graft.functions.SigAgree => e: Any
       })
     }.flatten
-    assert(sigAgree.nonEmpty,
-      "expected the SigAgree prefilter in q_dedup_minhash's optimized " +
-        s"plan; two-stage default lost?\n${df.queryExecution.optimizedPlan}")
+    assert(gate.nonEmpty,
+      "expected the signature-agreement prefilter in q_dedup_minhash's " +
+        s"optimized plan; two-stage default lost?\n" +
+        s"${df.queryExecution.optimizedPlan}")
   }
 
   test("no query plans a global window or an unbroadcast cross join") {
