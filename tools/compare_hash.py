@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Order-independent checksum compare for outputs too big for pandas.
+
+tools/compare.py (and the sf30/sf100 spot ladders built on it) loads
+BOTH sides of a compare into pandas, which caps the verifiable output
+size at ~20M rows. This tool verifies the same equality contract with
+bounded memory: it canonicalizes every row to a text form INSIDE
+DuckDB (columns sorted by name, each cast to the Spark dump's parquet
+type so both sides take the identical type→VARCHAR path, NULL → a
+sentinel), hashes each row (md5_number_lower, 64-bit), and compares
+(row count, HUGEINT sum of row hashes) between the Spark dump and the
+one-shot oracle. The digest is order-independent (the contract ORDER
+BY is irrelevant to set equality) and multiplicity-correct (duplicate
+rows add their hash twice), so PASS ⟺ both sides are equal as
+multisets of canonicalized rows, up to 64-bit hash-collision odds
+(~2^-64 per differing row pair — astronomically below the cell-exact
+comparator's coverage but over outputs 10× larger than it can load).
+
+Float caveat shared with the driver's gate: DOUBLE columns must be
+bit-equal cross-engine (the repo's determinism contract); both sides
+format through DuckDB's own DOUBLE→VARCHAR, so bit-equal values
+canonicalize identically.
+
+Usage: compare_hash.py <sfDir> <verifyOutDir> <query> [mem_gb=48]
+Prints PASS/FAIL with both (rows, checksum) tuples.
+"""
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def log(msg):
+    print(f"[hash {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main():
+    sf_dir, out_dir, query = sys.argv[1], sys.argv[2], sys.argv[3]
+    mem_gb = int(sys.argv[4]) if len(sys.argv) > 4 else 48
+    con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckdb_hash_spill'")
+    con.execute(f"SET memory_limit='{mem_gb}GB'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        sql = json.load(f)[query]
+    dump = f"{out_dir}/{query}/*.parquet"
+    # Canonical column order + types come from the Spark dump's parquet
+    # schema; the oracle side is cast to the SAME types so both sides
+    # take one type→VARCHAR path.
+    desc = con.execute(
+        f"DESCRIBE SELECT * FROM '{dump}'").fetchall()
+    types = {r[0]: r[1] for r in desc}
+    names = sorted(types)
+
+    def digest(src, side):
+        parts = ", ".join(
+            f"coalesce(CAST(CAST(\"{n}\" AS {types[n]}) AS VARCHAR),"
+            " chr(30))" for n in names)
+        t0 = time.time()
+        n, h = con.execute(
+            f"SELECT count(*),"
+            f" coalesce(sum(CAST(md5_number_lower("
+            f"   concat_ws(chr(31), {parts})) AS HUGEINT)), 0)"
+            f" FROM ({src})").fetchone()
+        log(f"{side}: rows={n} checksum={h} ({time.time() - t0:.1f}s)")
+        return n, int(h)
+
+    log(f"{query}: columns {names}")
+    got = digest(f"SELECT * FROM '{dump}'", "spark")
+    want = digest(sql, "oracle")
+    if got == want:
+        print(f"PASS {query} ({got[0]} rows, checksums equal)")
+    else:
+        print(f"FAIL {query}: spark(rows,sum)={got} oracle={want}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
