@@ -314,9 +314,10 @@ object Dedup {
     * geometrically above the boundary (j=0.55 → ~1e-7, j=0.6 → ~1e-9);
     * measured two-stage-vs-single-stage symmetric diff is zero at
     * testdata sf0.1, gen-sf3/sf10/sf30 and open-vocab
-    * ov-sf10/ov-sf30/ov-sf100 (~390k pairs total — SURVEY §6.1
-    * "Two-stage MinHash verification, measured" and
-    * sweeps/sweep_minhash_diff.jsonl).
+    * ov-sf3/ov-sf10/ov-sf30/ov-sf100 — re-measured in full after the
+    * byte-packed gate landed, ~390k pairs per ladder (SURVEY §6.1
+    * "Two-stage MinHash verification, measured" + "Byte-packed
+    * prefilter", and sweeps/sweep_minhash_diff.jsonl).
     * `prefilterSigmas = Double.PositiveInfinity`
     * disables the prefilter (bit-exact single-stage semantics); the
     * plain path is also taken automatically when the computed minAgree
