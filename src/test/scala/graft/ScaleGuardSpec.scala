@@ -214,16 +214,20 @@ class ScaleGuardSpec extends SparkSpec {
     "single-stage would reintroduce the gen-sf100 attach-join spill " +
     "(~600 GB, ENOSPC) that the prefilter cuts to ~35 GB") {
     val df = Queries.queries("q_dedup_minhash")(spark, dir)
+    // The registered k=32 is divisible by 8, so the BYTE-PACKED gate
+    // specifically must be in the plan — a silent revert to the
+    // full-signature SigAgree would reintroduce the 8× band-sort
+    // payload (the ov-sf100 premium this gate removed), so it fails
+    // the pin too.
     val gate = df.queryExecution.optimizedPlan.collect {
       case node => node.expressions.flatMap(_.collect {
-        case e: graft.functions.SigAgreeBytes => e: Any
-        case e: graft.functions.SigAgree => e: Any
+        case e: graft.functions.SigAgreeBytes => e
       })
     }.flatten
     assert(gate.nonEmpty,
-      "expected the signature-agreement prefilter in q_dedup_minhash's " +
-        s"optimized plan; two-stage default lost?\n" +
-        s"${df.queryExecution.optimizedPlan}")
+      "expected the byte-packed prefilter (sig_agree_bytes) in " +
+        s"q_dedup_minhash's optimized plan; two-stage packed default " +
+        s"lost?\n${df.queryExecution.optimizedPlan}")
   }
 
   test("no query plans a global window or an unbroadcast cross join") {
