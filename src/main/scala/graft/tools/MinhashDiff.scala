@@ -54,6 +54,13 @@ object MinhashDiff {
     spark.range(1000000L)
       .select(xxhash64(col("id")).as("h"))
       .groupBy(col("h") % 7).agg(count(lit(1))).count()
+    // ...and an input-page warm: whichever side is timed FIRST would
+    // otherwise alone pay the cold parquet data-page reads (a plain
+    // count() is footer-only, so force the text pages through length()).
+    // The r13 ladder rows predate this line (consistent method within
+    // each ladder; at the 150k-doc decades run-to-run noise exceeds the
+    // cold-read delta either way — SURVEY §6.1).
+    docs.select(length(col("text")).as("l")).agg(sum(col("l"))).head()
     def timed(sigmas: Double): (Long, Double) = {
       spark.catalog.clearCache()
       val t = System.nanoTime()
