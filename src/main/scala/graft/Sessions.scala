@@ -94,20 +94,44 @@ object Sessions {
     * dirs size as 0 so session construction never fails on sizing.
     */
   def inputBytes(dir: String): Long = {
-    import scala.jdk.CollectionConverters._
-    import scala.util.{Try, Using}
-    val root = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(root)) 0L
-    else Try(Using.resource(java.nio.file.Files.walk(root)) {
-      _.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
-          java.nio.file.Files.isRegularFile(p))
-        // a file can vanish mid-walk (concurrent GenData staging dir)
-        .map(p => Try(java.nio.file.Files.size(p)).getOrElse(0L)).sum
-      // Files.walk throws UncheckedIOException from the iterator on an
-      // unreadable subdirectory — size the whole dir as 0 rather than
-      // fail session construction
-    }).getOrElse(0L)
+    import java.nio.file.{FileVisitResult, Files, Path, Paths}
+    import java.nio.file.attribute.BasicFileAttributes
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) 0L
+    else {
+      // walkFileTree (not Files.walk): an unreadable subdirectory or a
+      // file vanishing mid-walk (concurrent GenData staging dir) hits
+      // visitFileFailed and the walk CONTINUES, so bytes already summed
+      // are retained instead of collapsing the whole size to 0 — which
+      // would silently plan a multi-TB input at the CPU-floor shuffle
+      // partition count (ADVICE r13). Failures are counted and warned.
+      var sum = 0L
+      var failed = 0L
+      val walk = scala.util.Try(
+        Files.walkFileTree(root, new java.nio.file.SimpleFileVisitor[Path] {
+        override def visitFile(p: Path,
+                               attrs: BasicFileAttributes): FileVisitResult = {
+          if (attrs.isRegularFile &&
+            p.getFileName.toString.endsWith(".parquet")) sum += attrs.size()
+          FileVisitResult.CONTINUE
+        }
+        override def visitFileFailed(p: Path,
+                                     e: java.io.IOException): FileVisitResult = {
+          failed += 1; FileVisitResult.CONTINUE
+        }
+        override def postVisitDirectory(p: Path,
+                                        e: java.io.IOException): FileVisitResult =
+          FileVisitResult.CONTINUE // swallow dir-iteration errors too
+      }))
+      if (failed > 0 || walk.isFailure) {
+        System.err.println(s"[graft] inputBytes($dir): $failed " +
+          s"entries unreadable mid-walk" +
+          walk.failed.toOption.map(e => s"; walk aborted: $e")
+            .getOrElse("") +
+          s"; shuffle sizing uses the $sum bytes that WERE summed")
+      }
+      sum
+    }
   }
 
   /** A per-JVM throwaway `spark.sql.warehouse.dir`, deleted on JVM

@@ -89,7 +89,10 @@ object Native {
         }),
       (
         FunctionIdentifier("sig_pack"),
-        new ExpressionInfo(classOf[SigPack].getName, "sig_pack"),
+        new ExpressionInfo(classOf[SigPack].getName, null, "sig_pack",
+          "_FUNC_(sig ARRAY<BIGINT>) - Packs each value's low byte, 8 " +
+            "per output long; the signature length must be a multiple " +
+            "of 8 (any other length raises).", ""),
         { args =>
           require(args.length == 1, "sig_pack takes exactly 1 argument")
           SigPack(args(0))

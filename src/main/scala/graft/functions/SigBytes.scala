@@ -11,9 +11,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType,
 
 /** Packs a MinHash signature (ARRAY<BIGINT>, length k) into k/8 longs
   * by keeping each value's LOW BYTE: packed[g] carries the low bytes
-  * of sig[8g..8g+7], element 8g in the most-significant byte. Trailing
-  * elements past the last full group of 8 are dropped (callers gate on
-  * k % 8 == 0); a null element packs as byte 0.
+  * of sig[8g..8g+7], element 8g in the most-significant byte. The
+  * length MUST be a multiple of 8 — any other length raises at eval
+  * time (ADVICE r13: the earlier behavior silently dropped the
+  * trailing partial group, so a direct SQL caller with k = 13 got
+  * truncated agreement counts with no error; internal callers always
+  * gate on k % 8 == 0, so the raise never fires in the library's own
+  * plans). A null element packs as byte 0.
   *
   * This is the payload side of the BYTE-PROXY prefilter: the banded
   * LSH table carries 8× less signature through the pair-join sort
@@ -39,6 +43,11 @@ final case class SigPack(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() % 8 != 0) {
+      throw new IllegalArgumentException(
+        s"sig_pack requires a signature length that is a multiple of 8," +
+          s" got ${x.numElements()}")
+    }
     val groups = x.numElements() / 8
     val out = new Array[Long](groups)
     var g = 0
@@ -66,6 +75,11 @@ final case class SigPack(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
+         |if ($a.numElements() % 8 != 0) {
+         |  throw new IllegalArgumentException(
+         |    "sig_pack requires a signature length that is a multiple"
+         |    + " of 8, got " + $a.numElements());
+         |}
          |final int $groups = $a.numElements() / 8;
          |final long[] $out = new long[$groups];
          |for (int $g = 0; $g < $groups; $g++) {

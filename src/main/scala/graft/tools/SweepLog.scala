@@ -16,18 +16,32 @@ object SweepLog {
   def append(mode: String, json: String): Unit = {
     println(json)
     try {
+      // trim before splicing the timestamp: a caller-built line with
+      // trailing whitespace would otherwise yield `..., "ts":...}  `
+      // inside the object's braces — a corrupt artifact row (ADVICE
+      // r13). Non-object payloads are appended as-is rather than
+      // mangled.
+      val trimmed = json.trim
+      val line =
+        if (trimmed.endsWith("}")) {
+          val ts = java.time.Instant.now().toString
+          trimmed.stripSuffix("}") + s""","ts":"$ts"}""" + "\n"
+        } else {
+          System.err.println(
+            s"[SweepLog] payload is not a JSON object, appending raw")
+          trimmed + "\n"
+        }
       val dir = java.nio.file.Paths.get("sweeps")
       java.nio.file.Files.createDirectories(dir)
-      val ts = java.time.Instant.now().toString
-      val line = json.stripSuffix("}") + s""","ts":"$ts"}""" + "\n"
       java.nio.file.Files.write(dir.resolve(s"sweep_$mode.jsonl"),
         line.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch {
-      // the measurement (stdout) must survive an unwritable artifact
-      // dir (e.g. running from a read-only checkout)
-      case e: java.io.IOException =>
+      // the measurement (stdout) must survive ANY artifact failure —
+      // unwritable dir, InvalidPathException, etc. (NonFatal, not just
+      // IOException: a probe must never die AFTER the measurement)
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[SweepLog] artifact write failed: $e")
     }
   }

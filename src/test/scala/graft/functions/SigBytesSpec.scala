@@ -19,18 +19,39 @@ class SigBytesSpec extends SparkSpec {
       (0 until 64 by 8).count(s => ((xor >>> s) & 0xFFL) == 0L)
     }.sum
 
-  test("sig_pack matches the reference packer; trailing partial group " +
-      "dropped") {
+  test("sig_pack matches the reference packer on multiple-of-8 lengths") {
     val rnd = new scala.util.Random(31)
     val rows = Seq.tabulate(200) { i =>
-      // lengths 32 (registered), 8, 16, and a non-multiple 13
-      val len = Seq(32, 8, 16, 13)(i % 4)
+      val len = Seq(32, 8, 16, 24)(i % 4)
       (i.toLong, Seq.fill(len)(rnd.nextLong()))
     }
     val got = rows.toDF("id", "sig")
       .select($"id", Native.sigPack($"sig").as("p"))
       .as[(Long, Seq[Long])].collect().toMap
     rows.foreach { case (id, sig) => assert(got(id) == refPack(sig)) }
+  }
+
+  test("sig_pack raises on a length that is not a multiple of 8 — " +
+      "both codegen and interpreted paths (ADVICE r13: the old silent " +
+      "truncation gave a direct SQL caller wrong agreement counts)") {
+    def chain(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    // codegen path (column input)
+    val viaCodegen = intercept[Exception] {
+      Seq((1L, Seq.fill(13)(7L))).toDF("id", "sig")
+        .select(Native.sigPack($"sig")).collect()
+    }
+    assert(chain(viaCodegen).contains("multiple of 8"),
+      s"unexpected: ${chain(viaCodegen)}")
+    // interpreted path (literal fold at optimization time)
+    val viaInterp = intercept[Exception] {
+      spark.range(1)
+        .select(Native.sigPack(array(Seq.fill(13)(lit(7L)): _*)))
+        .collect()
+    }
+    assert(chain(viaInterp).contains("multiple of 8"),
+      s"unexpected: ${chain(viaInterp)}")
   }
 
   test("sig_agree_bytes matches the reference count and is always >= " +

@@ -67,9 +67,41 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # Outputs past this row count blow the pandas cell-exact path (both
+    # sides load into memory); switch to the checksum comparator, which
+    # streams inside DuckDB (VERDICT r13 item 5 — one entry point, the
+    # spot scripts no longer partition their query sets by output size).
+    # Cross-validated cell-exact at gen-sf30 + perturbed-oracle negative
+    # control (sweeps/sweep_spot_sf30.jsonl).
+    hash_rows = int(os.environ.get("COMPARE_HASH_ROWS", 20_000_000))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
+            continue
+        try:
+            dump_rows = con.execute(
+                f"SELECT count(*) FROM "
+                f"'{out_dir}/{name}/*.parquet'").fetchone()[0]
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        if dump_rows > hash_rows:
+            from compare_hash import hash_compare
+            try:
+                ok, got, want = hash_compare(
+                    con, f"{out_dir}/{name}/*.parquet", sql, name)
+            except Exception as e:
+                print(f"FAIL {name}: oracle sql error: {e}")
+                n_fail += 1
+                continue
+            if ok:
+                print(f"PASS {name} ({got[0]} rows, hash comparator)")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: spark(rows,sum)={got} oracle={want}"
+                      f" (hash comparator)")
+                n_fail += 1
             continue
         try:
             spark = con.execute(

@@ -6,8 +6,11 @@ BOTH sides of a compare into pandas, which caps the verifiable output
 size at ~20M rows. This tool verifies the same equality contract with
 bounded memory: it canonicalizes every row to a text form INSIDE
 DuckDB (columns sorted by name, each cast to the Spark dump's parquet
-type so both sides take the identical type→VARCHAR path, NULL → a
-sentinel), hashes each row (md5_number_lower, 64-bit), and compares
+type so both sides take the identical type→VARCHAR path; each field
+encoded prefix-free as 'N' for NULL or 'V<len>:<value>' so the
+concatenation is INJECTIVE — no separator char a value could contain,
+no sentinel a value could equal; ADVICE r13), hashes each row
+(md5_number_lower, 64-bit), and compares
 (row count, HUGEINT sum of row hashes) between the Spark dump and the
 one-shot oracle. The digest is order-independent (the contract ORDER
 BY is irrelevant to set equality) and multiplicity-correct (duplicate
@@ -39,6 +42,51 @@ def log(msg):
     print(f"[hash {time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+def hash_compare(con, dump, oracle_sql, query):
+    """Checksum-compare the Spark dump glob vs the oracle SQL (both run
+    on `con`, which must already have the input views registered).
+    Returns (ok, got, want) with got/want = (rows, checksum). Importable
+    — tools/compare.py and compare_sliced.py auto-switch to this path
+    when the dump exceeds the pandas comparator's row budget (VERDICT
+    r13 item 5: one comparator entry point, no manual query partition).
+    """
+    # Canonical column order + types come from the Spark dump's parquet
+    # schema; the oracle side is cast to the SAME types so both sides
+    # take one type→VARCHAR path.
+    desc = con.execute(
+        f"DESCRIBE SELECT * FROM '{dump}'").fetchall()
+    types = {r[0]: r[1] for r in desc}
+    names = sorted(types)
+
+    def digest(src, side):
+        # Prefix-free field encoding: NULL -> 'N', value v -> 'V<len>:v'.
+        # Decoding is unambiguous left-to-right (read tag, then digits
+        # to ':', then exactly len chars), so the row string is
+        # injective in the field tuple — a value containing the old
+        # chr(31) separator, or equal to the old chr(30) NULL sentinel,
+        # can no longer shift boundaries or alias NULL (ADVICE r13).
+        casts = ", ".join(
+            f"CAST(CAST(\"{n}\" AS {types[n]}) AS VARCHAR) AS v{i}"
+            for i, n in enumerate(names))
+        fields = " || ".join(
+            f"CASE WHEN v{i} IS NULL THEN 'N' ELSE 'V' ||"
+            f" CAST(length(v{i}) AS VARCHAR) || ':' || v{i} END"
+            for i in range(len(names)))
+        t0 = time.time()
+        n, h = con.execute(
+            f"SELECT count(*),"
+            f" coalesce(sum(CAST(md5_number_lower("
+            f"   {fields}) AS HUGEINT)), 0)"
+            f" FROM (SELECT {casts} FROM ({src}))").fetchone()
+        log(f"{side}: rows={n} checksum={h} ({time.time() - t0:.1f}s)")
+        return n, int(h)
+
+    log(f"{query}: columns {names}")
+    got = digest(f"SELECT * FROM '{dump}'", "spark")
+    want = digest(oracle_sql, "oracle")
+    return got == want, got, want
+
+
 def main():
     sf_dir, out_dir, query = sys.argv[1], sys.argv[2], sys.argv[3]
     mem_gb = int(sys.argv[4]) if len(sys.argv) > 4 else 48
@@ -50,32 +98,9 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         sql = json.load(f)[query]
-    dump = f"{out_dir}/{query}/*.parquet"
-    # Canonical column order + types come from the Spark dump's parquet
-    # schema; the oracle side is cast to the SAME types so both sides
-    # take one type→VARCHAR path.
-    desc = con.execute(
-        f"DESCRIBE SELECT * FROM '{dump}'").fetchall()
-    types = {r[0]: r[1] for r in desc}
-    names = sorted(types)
-
-    def digest(src, side):
-        parts = ", ".join(
-            f"coalesce(CAST(CAST(\"{n}\" AS {types[n]}) AS VARCHAR),"
-            " chr(30))" for n in names)
-        t0 = time.time()
-        n, h = con.execute(
-            f"SELECT count(*),"
-            f" coalesce(sum(CAST(md5_number_lower("
-            f"   concat_ws(chr(31), {parts})) AS HUGEINT)), 0)"
-            f" FROM ({src})").fetchone()
-        log(f"{side}: rows={n} checksum={h} ({time.time() - t0:.1f}s)")
-        return n, int(h)
-
-    log(f"{query}: columns {names}")
-    got = digest(f"SELECT * FROM '{dump}'", "spark")
-    want = digest(sql, "oracle")
-    if got == want:
+    ok, got, want = hash_compare(
+        con, f"{out_dir}/{query}/*.parquet", sql, query)
+    if ok:
         print(f"PASS {query} ({got[0]} rows, checksums equal)")
     else:
         print(f"FAIL {query}: spark(rows,sum)={got} oracle={want}")

@@ -105,10 +105,10 @@ def oracle_pagerank(con, work, ns):
                 "FROM e JOIN deg USING (src) JOIN r1 ON r1.id = e.src "
                 "GROUP BY 1")
     log("round 2 done")
-    return con.execute(
+    return (
         "SELECT n.id AS node_id, CAST(floor(1.5e-1 * 1e9 + 8.5e-1 * "
         "  CAST(COALESCE(i2.inflow, 0) AS DOUBLE)) AS BIGINT) AS rank_q "
-        "FROM nodes n LEFT JOIN i2 USING (id) ORDER BY node_id").fetchdf()
+        "FROM nodes n LEFT JOIN i2 USING (id) ORDER BY node_id")
 
 
 def oracle_graph_degree(con, work, ns):
@@ -138,14 +138,14 @@ def oracle_graph_degree(con, work, ns):
               "(degenerate input?) — no mean to threshold against")
         sys.exit(1)
     log(f"mu = {mu}")
-    return con.execute(
+    return (
         "WITH e AS (SELECT lo, hi FROM p "
         f"  WHERE CAST(sh AS DOUBLE) >= 1.08e0 * {mu!r}), "
         "d AS (SELECT node, count(*) AS degree FROM ("
         "  SELECT lo AS node FROM e UNION ALL SELECT hi AS node FROM e) "
         "GROUP BY 1) "
         "SELECT degree, count(*) AS n_nodes FROM d "
-        "GROUP BY 1 ORDER BY degree").fetchdf()
+        "GROUP BY 1 ORDER BY degree")
 
 
 def oracle_minhash_md5(con, work, ns):
@@ -187,8 +187,7 @@ def oracle_minhash_md5(con, work, ns):
            "SELECT doc_a, doc_b, CAST(matches AS DOUBLE) / 16 "
            "  AS est_jaccard "
            "FROM est WHERE matches >= 8", slices=ns)
-    return con.execute(
-        "SELECT * FROM pairs ORDER BY doc_a, doc_b").fetchdf()
+    return "SELECT * FROM pairs ORDER BY doc_a, doc_b"
 
 
 def oracle_embed_pairs_lsh(con, work, ns):
@@ -219,8 +218,7 @@ def oracle_embed_pairs_lsh(con, work, ns):
            f"WHERE b.vec_id > a.vec_id AND a.bucket % {ns} = {k} "
            f"  AND b.bucket % {ns} = {k}"
            ") WHERE cosine >= 0.3", slices=ns)
-    return con.execute("SELECT id_a, id_b, cosine FROM pairs "
-                       "ORDER BY id_a, id_b").fetchdf()
+    return "SELECT id_a, id_b, cosine FROM pairs ORDER BY id_a, id_b"
 
 
 ORACLES = {
@@ -266,10 +264,27 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     t0 = time.time()
-    oracle = ORACLES[name](con, work, ns)
-    log(f"oracle total {time.time() - t0:.1f}s, {len(oracle)} rows")
-    spark = con.execute(
-        f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+    oracle_sql = ORACLES[name](con, work, ns)
+    log(f"oracle staged in {time.time() - t0:.1f}s")
+    dump = f"{out_dir}/{name}/*.parquet"
+    dump_rows = con.execute(f"SELECT count(*) FROM '{dump}'").fetchone()[0]
+    # Same auto-switch as tools/compare.py (VERDICT r13 item 5): past
+    # the pandas row budget the final compare runs as the streaming
+    # checksum instead of a cell-exact frame diff — the staged oracle
+    # is a view on `con` either way.
+    hash_rows = int(os.environ.get("COMPARE_HASH_ROWS", 20_000_000))
+    if dump_rows > hash_rows:
+        from compare_hash import hash_compare
+        ok, got, want = hash_compare(con, dump, oracle_sql, name)
+        if not ok:
+            print(f"FAIL {name}: spark(rows,sum)={got} oracle={want}"
+                  f" (sliced oracle, hash comparator)")
+            sys.exit(1)
+        print(f"PASS {name} ({got[0]} rows, sliced oracle,"
+              f" hash comparator)")
+        return
+    spark = con.execute(f"SELECT * FROM '{dump}'").fetchdf()
+    oracle = con.execute(oracle_sql).fetchdf()
     spark = spark[sorted(spark.columns)]
     oracle = oracle[sorted(oracle.columns)]
     if list(spark.columns) != list(oracle.columns):

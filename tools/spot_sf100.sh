@@ -31,12 +31,16 @@ for q in $QS; do
   timeout 900 python3 tools/compare.py gendata/sf100 "$OUT" "$q" > /tmp/spot_one.log 2>&1
   rc=$?
   dt=$(( $(date +%s) - t0 ))
+  # pass/fail only from a PRINTED verdict; a comparator that exits
+  # nonzero without printing one (missing oracle_sql.json, crash) is
+  # status=error, distinguishable from a true mismatch (ADVICE r13)
   if [ $rc = 124 ]; then st=oracle_timeout
   elif grep -q "^PASS $q" /tmp/spot_one.log; then st=pass
-  else st=fail; fi
-  rows=$(grep -oE "\(([0-9]+) rows\)" /tmp/spot_one.log | grep -oE "[0-9]+" | head -1)
+  elif grep -q "^FAIL $q" /tmp/spot_one.log; then st=fail
+  else st=error; fi
+  rows=$(grep -oE "\(([0-9]+) rows" /tmp/spot_one.log | grep -oE "[0-9]+" | head -1)
   echo "{\"sf\":\"gendata/sf100\",\"query\":\"$q\",\"status\":\"$st\",\"sec\":$dt,\"rows\":${rows:-null}}" >> "$ART"
   echo "[spot $(date +%H:%M:%S)] $q: $st (${dt}s)" | tee -a "$LOG"
-  if [ $st = fail ]; then grep "^FAIL" /tmp/spot_one.log | head -2 | tee -a "$LOG"; fi
+  if [ $st = fail ] || [ $st = error ]; then tail -3 /tmp/spot_one.log | tee -a "$LOG"; fi
 done
 echo "[spot] done" | tee -a "$LOG"
