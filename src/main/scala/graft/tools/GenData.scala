@@ -22,7 +22,8 @@ import org.apache.spark.sql.types._
   * plus a trailing " dup" marker, ~0.17% are exact copies) and the
   * 30-word vocabulary; `embeddings` are unit-normalized dim-64 vectors.
   *
-  * Usage: `runMain graft.tools.GenData <outDir> <sf> [--open-vocab]`.
+  * Usage: `runMain graft.tools.GenData <outDir> <sf>
+  * [--open-vocab | --power-law]`.
   *
   * `--open-vocab` writes ONLY an open-vocabulary `documents.parquet`
   * (Zipf-drawn tokens over a Heaps-law-sized vocabulary, same planted
@@ -32,6 +33,15 @@ import org.apache.spark.sql.types._
   * measure corpus saturation, not the engine (VERDICT r11 missing #1).
   * The dedup/text slopes read only `documents`, so the variant dir
   * stays cheap (no fact tables).
+  *
+  * `--power-law` writes ONLY `orders.parquet` + `lineitem.parquet`
+  * with a skewed (Zipf-activity, local-plus-hubs supplier) trade
+  * graph — see [[writePowerLaw]]: the uniform corpus makes the
+  * customer↔supplier co-occurrence projection DENSE (λ =
+  * nCust·(deg/nSupp)² → Σdeg² pair space ~ nSupp²), so the graph-
+  * family scale sweeps on it measure synthetic-corpus saturation, not
+  * the engine (VERDICT r13 missing #1 — the exact confound
+  * --open-vocab retired for the dedup family).
   */
 object GenData {
 
@@ -55,10 +65,14 @@ object GenData {
     val sf = args(1).toDouble
     val flags = args.drop(2)
     val openVocab = flags.contains("--open-vocab")
-    val unknown = flags.filterNot(_ == "--open-vocab")
+    val powerLaw = flags.contains("--power-law")
+    val unknown =
+      flags.filterNot(f => f == "--open-vocab" || f == "--power-law")
     require(unknown.isEmpty,
       s"unrecognized args: ${unknown.mkString(" ")} " +
-        "(usage: GenData <outDir> <sf> [--open-vocab])")
+        "(usage: GenData <outDir> <sf> [--open-vocab | --power-law])")
+    require(!(openVocab && powerLaw),
+      "--open-vocab and --power-law are mutually exclusive variants")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", "32")
@@ -67,6 +81,7 @@ object GenData {
       .appName("gendata").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (openVocab) writeOpenVocab(spark, outDir, sf)
+    else if (powerLaw) writePowerLaw(spark, outDir, sf)
     else write(spark, outDir, sf)
     spark.stop()
   }
@@ -171,6 +186,98 @@ object GenData {
     val nDoc = math.max(500, (50000 * sf).toLong)
     save(outDir, documentsDf(spark, nDoc,
       openVocabWord(openVocabSize(nDoc))), "documents")
+  }
+
+  /** Hub count / locality-window width for the `--power-law` trade
+    * graph. Exposed so GenDataSpec can pin the structural invariants
+    * (max distinct suppliers per customer ≤ window + hubs; projection
+    * density ~ nSupp·(window + hubs), NOT nSupp²).
+    */
+  def plHubs(nSupp: Long): Long = math.min(nSupp, 256L)
+  def plWindow(nSupp: Long): Long = math.min(nSupp, 64L)
+
+  /** Zipf(1) rank draw over 1..v via the inverse CDF (rank =
+    * floor(v^u), P[rank ≤ r] = ln r / ln v), shifted to 0..v−1 — the
+    * same draw [[openVocabWord]] uses for tokens.
+    */
+  private def zipfIdx(v: Long, uCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    least(lit(v), floor(pow(lit(v.toDouble), uCol)).cast(LongType)) - 1
+
+  /** `--power-law`: ONLY an orders.parquet + lineitem.parquet (the
+    * graph family — q_pagerank / q_graph_triangles / q_graph_degree —
+    * reads nothing else), same schemas as [[write]]'s, but with the
+    * trade graph drawn the way real purchase graphs are shaped instead
+    * of uniformly (VERDICT r13 item 1 — the graph analog of
+    * `--open-vocab`):
+    *
+    *  - customer ACTIVITY is Zipf(1) (o_custkey = zipf rank): order
+    *    counts per customer follow a power law (CCDF slope ≈ −1), so
+    *    context degrees are skewed, not uniform;
+    *  - supplier CHOICE is local-plus-hubs: 1/5 of line items draw a
+    *    Zipf rank over the top-[[plHubs]] global hub suppliers (the
+    *    power-law popularity head), the rest draw home(cust) + a
+    *    Zipf offset inside a [[plWindow]]-wide community window.
+    *
+    * Consequence: the co-occurrence projection is SPARSE — a supplier
+    * pairs only with its ≤2·(window−1) window-mates and with hubs it
+    * shares a customer with, so distinct co-occurring pairs grow
+    * ~linearly in nSupp where the uniform corpus's grow ~nSupp²
+    * (the dense-projection confound that blocked the family's ≥sf30
+    * record, sweeps/sweep_spot_sf30.jsonl `not_run` row).
+    */
+  def writePowerLaw(spark: SparkSession, outDir: String,
+                    sf: Double): Unit = {
+    val nCust = math.max(150, (150000 * sf).toLong)
+    val nSupp = math.max(10, (10000 * sf).toLong)
+    val nPart = math.max(200, (200000 * sf).toLong)
+    val nOrd = math.max(1500, (1500000 * sf).toLong)
+    val hubs = plHubs(nSupp)
+    val window = plWindow(nSupp)
+
+    val orders = spark.range(nOrd).select(
+      col("id").as("o_orderkey"),
+      zipfIdx(nCust, u(201)).as("o_custkey"),
+      pick(132, "O", "P", "F").as("o_orderstatus"),
+      round(lit(1000.0) + u(133) * 499000.0, 2).as("o_totalprice"),
+      (lit("1995-01-01").cast(TimestampType).cast(LongType)
+        + h(134, 2404) * 86400L).cast(TimestampType).as("o_orderdate"),
+      pick(135, "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+        "5-LOW").as("o_orderpriority"),
+      (h(136, 7) + 1).cast(IntegerType).as("__nl"))
+    save(outDir, orders.drop("__nl").withColumn("o_orderdate",
+      col("o_orderdate").cast(TimestampNTZType)), "orders")
+
+    // line-level columns hashed on (orderkey, linenumber) exactly like
+    // [[write]]; only l_suppkey is drawn from the skewed scheme (which
+    // additionally folds in o_custkey through the home anchor)
+    def lh(salt: Long, m: Long) = pmod(
+      xxhash64(col("l_orderkey"), col("l_linenumber"), lit(salt)), lit(m))
+    def lu(salt: Long) = lh(salt, 1000000L) / 1000000.0
+    val home = pmod(xxhash64(col("o_custkey"), lit(223)), lit(nSupp))
+    val hubPick = zipfIdx(hubs, lu(222))
+    val localPick = pmod(home + zipfIdx(window, lu(224)), lit(nSupp))
+    save(outDir, orders
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
+        col("o_orderdate"),
+        explode(sequence(lit(1), col("__nl"))).as("l_linenumber"))
+      .select(
+        col("l_orderkey"),
+        lh(141, nPart).as("l_partkey"),
+        when(lh(221, 5) === 0, hubPick).otherwise(localPick)
+          .as("l_suppkey"),
+        col("l_linenumber").cast(IntegerType),
+        (lh(143, 50) + 1).cast(DoubleType).as("l_quantity"),
+        round(lit(900.0) + lu(144) * 104100.0, 2).as("l_extendedprice"),
+        round(lh(145, 11).cast(DoubleType) / 100.0, 2).as("l_discount"),
+        round(lh(146, 9).cast(DoubleType) / 100.0, 2).as("l_tax"),
+        element_at(array(lit("A"), lit("N"), lit("R")),
+          (lh(147, 3) + 1).cast("int")).as("l_returnflag"),
+        element_at(array(lit("F"), lit("O")),
+          (lh(148, 2) + 1).cast("int")).as("l_linestatus"),
+        (col("o_orderdate").cast(LongType)
+          + (lh(149, 95) + 1) * 86400L).cast(TimestampType)
+          .cast(TimestampNTZType).as("l_shipdate")), "lineitem")
   }
 
   def write(spark: SparkSession, outDir: String, sf: Double): Unit = {

@@ -181,4 +181,124 @@ class GenDataSpec extends SparkSpec {
         s"$t differs across generation runs")
     }
   }
+
+  // ---- --power-law trade graph (VERDICT r13 item 1: the graph-family
+  // analog of --open-vocab — sparse projection, skewed degrees) -------
+
+  /** sf 0.2 power-law dir shared by the structural tests below:
+    * nCust = 30000, nSupp = 2000, nOrd = 300000.
+    */
+  private lazy val plDir: String = {
+    val d = Files.createTempDirectory("genpl").toString
+    GenData.writePowerLaw(spark, d, 0.2)
+    d
+  }
+
+  /** Distinct co-occurring supplier pairs of the trade graph's
+    * customer-context projection (the size driver of q_graph_degree /
+    * q_graph_triangles' first shuffle).
+    */
+  private def projectionPairs(d: String): Long = {
+    val cs = spark.read.parquet(s"$d/orders.parquet")
+      .select($"o_orderkey", $"o_custkey")
+      .join(spark.read.parquet(s"$d/lineitem.parquet")
+          .select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("i")).distinct()
+    cs.as("a").join(cs.as("b"),
+        $"a.c" === $"b.c" && $"a.i" < $"b.i")
+      .select($"a.i", $"b.i").distinct().count()
+  }
+
+  test("--power-law: only orders+lineitem are written, with the driver " +
+      "schemas, and generation is deterministic and " +
+      "partitioning-independent") {
+    val dA = Files.createTempDirectory("genpl_a").toString
+    val dB = Files.createTempDirectory("genpl_b").toString
+    GenData.writePowerLaw(spark, dA, 0.02)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      GenData.writePowerLaw(spark, dB, 0.02)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    val filesA = new java.io.File(dA).listFiles().map(_.getName).toSet
+    assert(filesA == Set("orders.parquet", "lineitem.parquet"),
+      s"unexpected files $filesA")
+    for (t <- Seq("orders", "lineitem")) {
+      val gen = graft.io.Tables.table(spark, dA, t).schema
+      val ref = graft.io.Tables.table(spark, RefDir, t).schema
+      assert(gen.fields.map(f => (f.name, f.dataType)).toSeq
+        .sortBy(_._1) ==
+        ref.fields.map(f => (f.name, f.dataType)).toSeq.sortBy(_._1),
+        s"schema mismatch for $t")
+      val a = spark.read.parquet(s"$dA/$t.parquet")
+      val b = spark.read.parquet(s"$dB/$t.parquet")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$t differs across generation runs")
+    }
+    // lineitem FK side still resolves against the generated orders
+    val orphan = spark.read.parquet(s"$dA/lineitem.parquet")
+      .join(spark.read.parquet(s"$dA/orders.parquet"),
+        $"l_orderkey" === $"o_orderkey", "left_anti")
+    assert(orphan.count() == 0)
+  }
+
+  test("--power-law degree law: customer-activity CCDF has slope ≈ −1 " +
+      "(Zipf(1)), hub suppliers hold an outsized share, and no " +
+      "customer's distinct-supplier degree exceeds window + hubs") {
+    val ord = spark.read.parquet(s"$plDir/orders.parquet")
+    val perCust = ord.groupBy("o_custkey").count()
+      .select($"count").as[Long].collect()
+    // CCDF at k = 8..128: Zipf(1) activity ⇒ N(orders ≥ k) ∝ 1/k,
+    // i.e. log-log slope −1; a uniform draw would put ~0 customers
+    // above 2× the mean (10) and the regression would be meaningless
+    val ks = Seq(8L, 16L, 32L, 64L, 128L)
+    val pts = ks.map { k =>
+      val n = perCust.count(_ >= k)
+      assert(n > 20, s"CCDF($k) = $n too small to regress on")
+      (math.log(k.toDouble), math.log(n.toDouble))
+    }
+    val mx = pts.map(_._1).sum / pts.size
+    val my = pts.map(_._2).sum / pts.size
+    val slope = pts.map(p => (p._1 - mx) * (p._2 - my)).sum /
+      pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+    assert(slope > -1.4 && slope < -0.65, s"CCDF slope $slope not ~ -1")
+    // hub share: the planted hubs (ids < plHubs) must hold far more
+    // than their uniform share (256/2000 = 12.8%)
+    val li = spark.read.parquet(s"$plDir/lineitem.parquet")
+    val hubs = GenData.plHubs(2000)
+    val hubShare = li.filter($"l_suppkey" < hubs).count().toDouble /
+      li.count()
+    assert(hubShare > 0.2 && hubShare < 0.7, s"hub share $hubShare")
+    // per-customer distinct-supplier degree is structurally bounded:
+    // a customer can only ever see its window + the hub set
+    val maxDeg = li.join(ord.select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey", $"l_suppkey").distinct()
+      .groupBy("o_custkey").count()
+      .agg(max($"count")).head().getLong(0)
+    assert(maxDeg <= GenData.plWindow(2000) + hubs,
+      s"max distinct suppliers per customer $maxDeg exceeds the " +
+        s"window+hubs bound")
+  }
+
+  test("--power-law projection density: distinct co-occurring supplier " +
+      "pairs stay under the per-supplier structural bound and grow " +
+      "~linearly in nSupp (the uniform corpus's grow ~nSupp² — the " +
+      "dense-projection confound this corpus retires)") {
+    val d2 = Files.createTempDirectory("genpl_dens").toString
+    GenData.writePowerLaw(spark, d2, 0.8) // nSupp = 8000 (4× plDir's)
+    val p1 = projectionPairs(plDir)
+    val p2 = projectionPairs(d2)
+    // per-supplier bound: window-mates (≤ 2·(window−1)) + hubs
+    def bound(nSupp: Long): Long =
+      nSupp * (2 * GenData.plWindow(nSupp) + GenData.plHubs(nSupp))
+    assert(p1 <= bound(2000), s"sf0.2 pairs $p1 > ${bound(2000)}")
+    assert(p2 <= bound(8000), s"sf0.8 pairs $p2 > ${bound(8000)}")
+    // 4× the suppliers (and 4× the orders) must NOT quadruple-square
+    // the pair space: linear ⇒ ratio ≈ 4, quadratic ⇒ ≈ 16
+    val ratio = p2.toDouble / p1
+    assert(ratio < 8.0, s"pair growth $p1 -> $p2 (ratio $ratio) is " +
+      "not ~linear in nSupp")
+  }
 }

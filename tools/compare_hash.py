@@ -94,8 +94,12 @@ def main():
     con.execute("SET temp_directory='/tmp/duckdb_hash_spill'")
     con.execute(f"SET memory_limit='{mem_gb}GB'")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # variant corpora (ov-*/pl-*) carry only the tables their query
+        # family reads; a missing parquet only matters if a query
+        # actually references it (then that query fails, correctly)
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         sql = json.load(f)[query]
     ok, got, want = hash_compare(

@@ -261,8 +261,12 @@ def main():
     if threads:
         con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # variant corpora (ov-*/pl-*) carry only the tables their query
+        # family reads; a missing parquet only matters if a query
+        # actually references it (then that query fails, correctly)
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     t0 = time.time()
     oracle_sql = ORACLES[name](con, work, ns)
     log(f"oracle staged in {time.time() - t0:.1f}s")
