@@ -4,7 +4,9 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{FloatType, LongType}
 
 import graft.Sessions
 import graft.streaming.Streams
@@ -12,8 +14,10 @@ import graft.streaming.Streams
 /** Streaming micro-batch THROUGHPUT measurement — the one performance
   * axis the batch bench can't see. Queues `batches` MemoryStream
   * blocks, drains them with `Trigger.AvailableNow` (one micro-batch
-  * per block), and reports drained rows/second for the representative
-  * stateful paths:
+  * per block), and reports drained rows/second for every stateful
+  * serving path the engine ships (VERDICT r13 item 3 — the round-6
+  * record covered only the first three; the streaming surface has
+  * since grown the tws/near-dup/PIT operators):
   *
   *  - windowedAgg: tumbling event-time window + watermark (the A21
   *    consume path)
@@ -21,11 +25,23 @@ import graft.streaming.Streams
   *    feedback-loop state shape)
   *  - rollingStatsTws: transformWithState trailing-window stats on the
   *    RocksDB store (the Spark-4 state API twin of q_rolling_stats)
+  *  - heavyHittersTws: per-hash-partition Misra-Gries summaries
+  *    (q_heavy_hitters' incremental twin)
+  *  - nearDupStream: sign-LSH bucket lookup + exact rescore against a
+  *    materialized 100k-signature index (runs at rows/10 — the work
+  *    unit is ~occupancy-many qcosine rescores per incoming document,
+  *    not one row)
+  *  - streamingPointInTime: micro-batched as-of serving against a
+  *    bucketed feature table, per-batch parquet sink included (the
+  *    serving loop's real cost shape)
   *
   * Rows/s here is single-JVM local[N] with per-batch planning overhead
   * included — at cluster scale the same plans shard by key across
   * executors, so treat the number as a floor for one node, not a
-  * ceiling for the engine. Usage:
+  * ceiling for the engine. Each run appends its JSON line to
+  * `sweeps/sweep_stream.jsonl` (SweepLog); sweep at TWO batch sizes
+  * (e.g. 100k and 20k rows/micro-batch) to expose the per-batch
+  * planning overhead separately from per-row cost. Usage:
   * `runMain graft.tools.StreamBench [rows] [batches]`.
   */
 object StreamBench {
@@ -35,11 +51,12 @@ object StreamBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.tuned(SparkSession.builder()
         .master(s"local[$cpus]")
+        .config("spark.sql.warehouse.dir", Sessions.tempWarehouse())
         .config("spark.ui.enabled", "false"), Sessions.shuffleParts(cpus.toInt))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // transformWithState requires the RocksDB store; use it uniformly
-    // so all three paths bench the production state backend
+    // so all paths bench the production state backend
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
@@ -53,12 +70,12 @@ object StreamBench {
 
     // queue ALL blocks first (AvailableNow snapshots the queued offsets
     // at start), then time start→termination: pure drain throughput
-    def timeDrain(start: () => org.apache.spark.sql.streaming
+    def timeDrain(rows: Long)(start: () => org.apache.spark.sql.streaming
         .StreamingQuery): Double = {
       val begin = System.nanoTime()
       val q = start()
       q.awaitTermination()
-      total.toDouble / ((System.nanoTime() - begin) / 1e9)
+      rows.toDouble / ((System.nanoTime() - begin) / 1e9)
     }
 
     val winIn = MemoryStream[(Timestamp, Long, Double)]
@@ -68,7 +85,7 @@ object StreamBench {
         (new Timestamp((t0 + i / 600) * 1000L), i % users, 1.0)
       })
     }
-    val winRps = timeDrain(() =>
+    val winRps = timeDrain(total)(() =>
       Streams.windowedAgg(winIn.toDF().toDF("ts", "user_id", "value"),
           "ts", "user_id", "value", "1 minute")
         .writeStream.format("memory").queryName("sb_win")
@@ -81,7 +98,7 @@ object StreamBench {
         (i % users, (i % 97).toDouble)
       })
     }
-    val mgsRps = timeDrain(() =>
+    val mgsRps = timeDrain(total)(() =>
       Streams.runningUserStats(mgsIn.toDS())
         .writeStream.format("memory").queryName("sb_mgs")
         .outputMode("update").trigger(Trigger.AvailableNow()).start())
@@ -95,15 +112,102 @@ object StreamBench {
         (i % users, i, t0 + i / 600, i % 97)
       })
     }
-    val twsRps = timeDrain(() =>
+    val twsRps = timeDrain(total)(() =>
       Streams.rollingStatsTws(twsIn.toDS(), windowSec = 3600L)
         .writeStream.format("memory").queryName("sb_tws")
         .outputMode("append").trigger(Trigger.AvailableNow()).start())
 
-    println(s"""{"rows":$total,"batches":$nBatches,""" +
+    // heavy hitters: 40% of rows from a 37-term hot head, the rest
+    // from a 20011-term tail — the skew shape Misra-Gries is for
+    val hhIn = MemoryStream[String]
+    (0L until nBatches).foreach { b =>
+      hhIn.addData((0 until perBatch).map { j =>
+        val i = b * perBatch + j
+        if (i % 5 < 2) s"t${i % 37}" else s"t${i % 20011}"
+      })
+    }
+    val hhRps = timeDrain(total)(() =>
+      Streams.heavyHittersTws(hhIn.toDS(), k = 64, partitions = 32)
+        .writeStream.format("memory").queryName("sb_hh")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start())
+
+    // near-dup serving: static 100k-signature index, incoming docs at
+    // rows/10 (each incoming doc triggers ~occupancy bucket-mates'
+    // worth of exact qcosine rescoring — the per-ROW work is ~256
+    // 64-dim integer dot products, so the meaningful rate is docs/s)
+    val dim = 64
+    def vec(i: Long): Array[Float] = {
+      val a = new Array[Float](dim)
+      var j = 0
+      while (j < dim) {
+        // xxhash-free cheap deterministic mix; unit-scale irrelevant
+        // (qcosine normalizes)
+        a(j) = (((i * 2654435761L + j * 40503L) % 1000L) / 1000.0f) - 0.5f
+        j += 1
+      }
+      a
+    }
+    val nIdx = 100000L
+    val bits = graft.text.Similarity.bitsFor(nIdx)
+    val idxDf = spark.range(nIdx).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => ((pmod(xxhash64(col("id"), j, lit(7)), lit(1000L))
+          .cast("double") / 1000.0) - 0.5).cast(FloatType))
+        .as("embedding"))
+    val sigs = graft.text.Similarity.signatures(
+      idxDf, "id", "embedding", bits).cache()
+    sigs.count() // materialize the index outside the timed drain
+    val ndTotal = math.max(nBatches.toLong, total / 10)
+    val ndPerBatch = (ndTotal / nBatches).toInt
+    val ndIn = MemoryStream[(Long, Array[Float])]
+    (0L until nBatches).foreach { b =>
+      ndIn.addData((0 until ndPerBatch).map { j =>
+        val i = b * ndPerBatch + j
+        (nIdx + i, vec(i))
+      })
+    }
+    val ndRps = timeDrain(nBatches.toLong * ndPerBatch)(() =>
+      Streams.nearDupStream(ndIn.toDF().toDF("id", "embedding"),
+          sigs, "id", "embedding", minCosine = 0.6, bits = bits)
+        .writeStream.format("memory").queryName("sb_nd")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+    sigs.unpersist()
+
+    // streaming PIT serving: 1M-row bucketed feature history (200k
+    // entities × 5 versions), query stream as-of joined per micro-batch
+    // through the intervalized path, per-batch parquet sink included
+    val nEnt = 200000L
+    val featDf = spark.range(nEnt * 5).select(
+      (col("id") % nEnt).as("user_id"),
+      timestamp_seconds(lit(t0) + (col("id") / nEnt) * 86400L)
+        .as("feature_ts"),
+      (col("id") % 997).cast("double").as("rating"))
+    graft.io.Bucketing.writeBucketed(featDf, "sb_pit_feat", "user_id", 32)
+    val pitRoot = java.nio.file.Files
+      .createTempDirectory("sb_pit").toString
+    val pitIn = MemoryStream[(Long, Timestamp)]
+    (0L until nBatches).foreach { b =>
+      pitIn.addData((0 until perBatch).map { j =>
+        val i = b * perBatch + j
+        (i % nEnt, new Timestamp((t0 + (i % 7) * 86400L) * 1000L))
+      })
+    }
+    val pitRps = timeDrain(total)(() =>
+      new graft.feature.FeatureStore(spark,
+          s"$pitRoot/store").streamingPointInTime(
+        "sb_pit_feat", pitIn.toDF().toDF("user_id", "as_of"),
+        "user_id", "as_of", Seq("rating"),
+        s"$pitRoot/out", s"$pitRoot/ckpt", Trigger.AvailableNow()))
+    spark.sql("DROP TABLE IF EXISTS sb_pit_feat")
+
+    SweepLog.append("stream",
+      s"""{"rows":$total,"batches":$nBatches,"per_batch":$perBatch,""" +
       s""""windowed_agg_krows_s":${(winRps / 1000).round},""" +
       s""""map_groups_state_krows_s":${(mgsRps / 1000).round},""" +
-      s""""tws_rolling_krows_s":${(twsRps / 1000).round}}""")
+      s""""tws_rolling_krows_s":${(twsRps / 1000).round},""" +
+      s""""tws_heavy_hitters_krows_s":${(hhRps / 1000).round},""" +
+      s""""near_dup_kdocs_s":${(ndRps / 1000).round},""" +
+      s""""pit_serving_krows_s":${(pitRps / 1000).round}}""")
     spark.stop()
   }
 }
