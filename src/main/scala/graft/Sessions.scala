@@ -107,8 +107,16 @@ object Sessions {
       // partition count (ADVICE r13). Failures are counted and warned.
       var sum = 0L
       var failed = 0L
+      // FOLLOW_LINKS: a NOFOLLOW walk sees a symlinked parquet as a
+      // symlink (attrs.isRegularFile = false) and silently sizes an
+      // sf dir built from symlinks as ~0 — the CPU-floor sizing this
+      // method exists to avoid (ADVICE r14). walkFileTree detects
+      // link cycles itself (FileSystemLoopException → visitFileFailed,
+      // counted + warned below, walk continues).
       val walk = scala.util.Try(
-        Files.walkFileTree(root, new java.nio.file.SimpleFileVisitor[Path] {
+        Files.walkFileTree(root,
+          java.util.EnumSet.of(java.nio.file.FileVisitOption.FOLLOW_LINKS),
+          Integer.MAX_VALUE, new java.nio.file.SimpleFileVisitor[Path] {
         override def visitFile(p: Path,
                                attrs: BasicFileAttributes): FileVisitResult = {
           if (attrs.isRegularFile &&

@@ -196,13 +196,19 @@ object GenData {
   def plHubs(nSupp: Long): Long = math.min(nSupp, 256L)
   def plWindow(nSupp: Long): Long = math.min(nSupp, 64L)
 
-  /** Zipf(1) rank draw over 1..v via the inverse CDF (rank =
-    * floor(v^u), P[rank ≤ r] = ln r / ln v), shifted to 0..v−1 — the
-    * same draw [[openVocabWord]] uses for tokens.
+  /** Zipf(1) rank draw via the inverse CDF (rank = floor(v^u),
+    * P[rank ≤ r] = ln r / ln v), shifted down 1. SUPPORT IS 0..v−2
+    * (ADVICE r14): u is quantized to k/10⁶ < 1, so floor(v^u) ≤ v−1
+    * always — the top index v−1 is never drawn (customer nCust−1, hub
+    * plHubs−1, window offset window−1 don't occur). Harmless for the
+    * skew law (the un-drawn index is the single RAREST rank) and pinned
+    * by the on-disk pl-* corpora, so documented rather than changed;
+    * the old `least(lit(v), …)` clamp was dead code and is dropped
+    * (provably output-identical: the clamped argument never reaches v).
     */
   private def zipfIdx(v: Long, uCol: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    least(lit(v), floor(pow(lit(v.toDouble), uCol)).cast(LongType)) - 1
+    floor(pow(lit(v.toDouble), uCol)).cast(LongType) - 1
 
   /** `--power-law`: ONLY an orders.parquet + lineitem.parquet (the
     * graph family — q_pagerank / q_graph_triangles / q_graph_degree —

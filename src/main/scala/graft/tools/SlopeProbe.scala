@@ -19,8 +19,11 @@ import graft.Sessions
   * Usage: `runMain graft.tools.SlopeProbe <sfDir>` (graph + ngram
   * analytics), or `<sfDir> lsh [bits]` / `<sfDir> minhash
   * [--survivors]` / `<sfDir> simhash [--spaces-only | --no-narrow]` /
-  * `<sfDir> ngram` — each mode appends its JSON line to
-  * `sweeps/sweep_<mode>.jsonl` (SweepLog) as well as printing it.
+  * `<sfDir> ngram` / `<sfDir> graph` (trade-graph-only analytics for
+  * `--power-law` variant dirs, incl. the distinct-co-occurring-pairs
+  * count whose ~linear-in-nSupp growth is the family's scale record) —
+  * each mode appends its JSON line to `sweeps/sweep_<mode>.jsonl`
+  * (SweepLog) as well as printing it.
   */
 object SlopeProbe {
   def main(args: Array[String]): Unit = {
@@ -201,6 +204,67 @@ object SlopeProbe {
         narrowJson +
         s""""wide_pairs":$rW,"wide_sec":$sW,""" +
         s""""blocked_pairs":$rB,"blocked_sec":$sB}""")
+      spark.stop()
+      return
+    }
+    // `<sfDir> graph` — ONLY the graph-projection analytics (reads
+    // orders+lineitem, nothing else — runs on `--power-law` variant
+    // dirs, which hold no documents; VERDICT r14 item 1). One heavy
+    // join (the q_graph_degree/q_graph_triangles projection itself,
+    // meanFactor = 1.08, maxDeg = 500 — Graph.coOccurrenceEdges'
+    // internals inlined so `shared` is counted once instead of built
+    // twice), plus cheap analytic aggregates:
+    //   raw_pair_space     Σ C(deg_c, 2) over kept contexts — the
+    //                      self-join's INPUT row count;
+    //   distinct_pairs     count of distinct co-occurring (lo, hi) —
+    //                      the groupBy's OUTPUT, i.e. the shuffle the
+    //                      uniform corpus blew past 44 GB at gen-sf30.
+    //                      On pl-* this must grow ~linearly in n_supp
+    //                      (GenDataSpec pins < nSupp·(2·window+hubs)
+    //                      at sf0.2; this records it at scale);
+    //   n_edges / predicted_wedges  after the 1.08×mean threshold.
+    if (args.length > 1 && args(1) == "graph") {
+      val t0 = System.nanoTime()
+      val cs = graft.io.Tables.table(spark, sfDir, "orders")
+        .join(graft.io.Tables.table(spark, sfDir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("i"))
+        .distinct()
+      val byCtx = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c"))
+      val kept = cs.withColumn("deg", count(lit(1)).over(byCtx))
+        .filter(col("deg") <= 500L).persist()
+      val ctxStats = kept.groupBy("c").agg(max(col("deg")).as("d"))
+        .agg(count(lit(1)).as("n_ctx"),
+          coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
+            .cast("long").as("space"),
+          coalesce(max(col("d")), lit(0L)).as("max_deg")).head()
+      val nSupp = kept.select(col("i")).distinct().count()
+      val p = kept.drop("deg")
+      val shared = p.as("a").join(p.as("b"),
+          col("a.c") === col("b.c") && col("a.i") < col("b.i"))
+        .groupBy(col("a.i").as("lo"), col("b.i").as("hi"))
+        .agg(count(lit(1)).as("shared")).persist()
+      val distinctPairs = shared.count()
+      val mu = shared.agg(
+        (sum(col("shared")).cast("long").cast("double") /
+          count(lit(1)).cast("double")).as("mu"))
+      val edges = shared.crossJoin(broadcast(mu))
+        .filter(col("shared").cast("double") >= lit(1.08) * col("mu"))
+        .select(col("lo"), col("hi")).persist()
+      val nEdges = edges.count()
+      val predictedWedges = edges.groupBy("lo")
+        .agg(count(lit(1)).as("d"))
+        .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
+          .cast("long")).head().getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      SweepLog.append("graph",
+        s"""{"sf":"$sfDir","mode":"graph","n_supp":$nSupp,""" +
+        s""""n_ctx":${ctxStats.getLong(0)},""" +
+        s""""max_ctx_deg":${ctxStats.getLong(2)},""" +
+        s""""raw_pair_space":${ctxStats.getLong(1)},""" +
+        s""""distinct_pairs":$distinctPairs,"n_edges":$nEdges,""" +
+        s""""predicted_wedges":$predictedWedges,"sec":$sec}""")
       spark.stop()
       return
     }

@@ -62,6 +62,15 @@ def main():
     threads = os.environ.get("COMPARE_THREADS")
     if threads:
         con.execute(f"SET threads={int(threads)}")
+    # Mirror compare_hash.main's spill config on THIS connection too: the
+    # >20M-row hash auto-switch below runs its digests here, and an
+    # in-memory DuckDB without a temp_directory cannot spill — it would
+    # OOM on exactly the large outputs the switch exists for (ADVICE r14).
+    # Harmless for the pandas path (a memory_limit only bounds DuckDB's
+    # own operators; oracles that outgrow it now spill instead of dying).
+    con.execute("SET temp_directory='/tmp/duckdb_hash_spill'")
+    mem_gb = int(os.environ.get("COMPARE_MEM_GB", 48))
+    con.execute(f"SET memory_limit='{mem_gb}GB'")
     for t in TABLES:
         # variant corpora (ov-*/pl-*) carry only the tables their query
         # family reads; a missing parquet only matters if a query
@@ -96,7 +105,10 @@ def main():
                 ok, got, want = hash_compare(
                     con, f"{out_dir}/{name}/*.parquet", sql, name)
             except Exception as e:
-                print(f"FAIL {name}: oracle sql error: {e}")
+                # one try wraps both digests — a Spark-dump read failure
+                # mid-digest is NOT an oracle problem, so don't label it
+                # 'oracle sql error' (ADVICE r14)
+                print(f"FAIL {name}: hash comparator error: {e}")
                 n_fail += 1
                 continue
             if ok:
@@ -112,6 +124,22 @@ def main():
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        # The pandas-vs-hash switch keys on the SPARK dump's rows; a true
+        # mismatch where the dump is small but the oracle is huge would
+        # fetchdf() the full oracle and OOM instead of failing cleanly
+        # (ADVICE r14) — bound the oracle side with a count first.
+        try:
+            oracle_rows = con.execute(
+                f"SELECT count(*) FROM ({sql})").fetchone()[0]
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        if oracle_rows > hash_rows:
+            print(f"FAIL {name}: rows {dump_rows} vs {oracle_rows} "
+                  f"(oracle exceeds pandas budget; not loaded)")
             n_fail += 1
             continue
         try:
