@@ -465,7 +465,9 @@ object StatsQueries {
     // -- triangle census over the supplier co-supply graph (strong
     // ties: pairs sharing >= 1.08× the mean customer overlap — a
     // scale-free threshold): thresholded bipartite projection, then
-    // the oriented wedge-close count — see graft.ops.Graph -------------
+    // the DEGREE-ORDERED wedge-close count (Schank–Wagner; id
+    // orientation explodes to 8.8 B wedges on the pl-sf3 hub graph
+    // where degree order executes 65.7 M — see graft.ops.Graph) --------
     sql("q_graph_triangles")(
       """WITH cs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS i
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
@@ -479,15 +481,32 @@ object StatsQueries {
         |        CAST(count(*) AS DOUBLE) AS mu FROM p),
         |e AS (SELECT lo, hi FROM p, m
         |      WHERE CAST(sh AS DOUBLE) >= 1.08e0 * m.mu),
-        |w AS (SELECT e1.hi AS x, e2.hi AS y FROM e e1 JOIN e e2
-        |      ON e1.lo = e2.lo AND e1.hi < e2.hi),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |          SELECT lo AS node FROM e
+        |          UNION ALL SELECT hi AS node FROM e) GROUP BY 1),
+        |o AS (SELECT CASE WHEN da.d < db.d
+        |               OR (da.d = db.d AND e.lo < e.hi)
+        |             THEN e.lo ELSE e.hi END AS src,
+        |             CASE WHEN da.d < db.d
+        |               OR (da.d = db.d AND e.lo < e.hi)
+        |             THEN e.hi ELSE e.lo END AS dst,
+        |             CASE WHEN da.d < db.d
+        |               OR (da.d = db.d AND e.lo < e.hi)
+        |             THEN db.d ELSE da.d END AS dd
+        |      FROM e JOIN deg da ON da.node = e.lo
+        |             JOIN deg db ON db.node = e.hi),
+        |w AS (SELECT o1.dst AS x, o2.dst AS y FROM o o1 JOIN o o2
+        |      ON o1.src = o2.src AND (o1.dd < o2.dd
+        |        OR (o1.dd = o2.dd AND o1.dst < o2.dst))),
         |tri AS (SELECT count(*) AS n_triangles FROM w
-        |        WHERE EXISTS (SELECT 1 FROM e
-        |                      WHERE e.lo = w.x AND e.hi = w.y))
+        |        WHERE EXISTS (SELECT 1 FROM o
+        |                      WHERE o.src = w.x AND o.dst = w.y)),
+        |nw AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
+        |         AS n_wedges
+        |       FROM (SELECT src, count(*) AS c FROM o GROUP BY 1))
         |SELECT (SELECT count(*) FROM e) AS n_edges,
-        |       (SELECT count(*) FROM w) AS n_wedges,
-        |       tri.n_triangles
-        |FROM tri""".stripMargin) { (s, dir) =>
+        |       nw.n_wedges, tri.n_triangles
+        |FROM tri, nw""".stripMargin) { (s, dir) =>
       val cs = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))

@@ -253,10 +253,26 @@ object SlopeProbe {
         .filter(col("shared").cast("double") >= lit(1.08) * col("mu"))
         .select(col("lo"), col("hi")).persist()
       val nEdges = edges.count()
-      val predictedWedges = edges.groupBy("lo")
-        .agg(count(lit(1)).as("d"))
+      // wedge space under BOTH orientations, each analytically from a
+      // degree table (never by executing the stream): id order is what
+      // the pre-r15 triangleStats executed (8.81 B at pl-sf3 — the
+      // blowup that killed the first sweep attempt); degree order is
+      // what it executes now (65.7 M there, O(m^1.5) bound).
+      def wedgeSum(d: org.apache.spark.sql.DataFrame): Long = d
         .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
           .cast("long")).head().getLong(0)
+      val wedgesId = wedgeSum(
+        edges.groupBy("lo").agg(count(lit(1)).as("d")))
+      val deg = edges.select(col("lo").as("node"))
+        .unionAll(edges.select(col("hi").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val loFirst = col("dlo") < col("dhi") ||
+        (col("dlo") === col("dhi") && col("lo") < col("hi"))
+      val wedgesDeg = wedgeSum(edges
+        .join(deg.select(col("node").as("lo"), col("d").as("dlo")), "lo")
+        .join(deg.select(col("node").as("hi"), col("d").as("dhi")), "hi")
+        .select(when(loFirst, col("lo")).otherwise(col("hi")).as("src"))
+        .groupBy("src").agg(count(lit(1)).as("d")))
       val sec = (System.nanoTime() - t0) / 1e9
       SweepLog.append("graph",
         s"""{"sf":"$sfDir","mode":"graph","n_supp":$nSupp,""" +
@@ -264,7 +280,8 @@ object SlopeProbe {
         s""""max_ctx_deg":${ctxStats.getLong(2)},""" +
         s""""raw_pair_space":${ctxStats.getLong(1)},""" +
         s""""distinct_pairs":$distinctPairs,"n_edges":$nEdges,""" +
-        s""""predicted_wedges":$predictedWedges,"sec":$sec}""")
+        s""""wedges_id_orient":$wedgesId,""" +
+        s""""wedges_deg_orient":$wedgesDeg,"sec":$sec}""")
       spark.stop()
       return
     }

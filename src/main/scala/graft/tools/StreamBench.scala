@@ -42,12 +42,25 @@ import graft.streaming.Streams
   * `sweeps/sweep_stream.jsonl` (SweepLog); sweep at TWO batch sizes
   * (e.g. 100k and 20k rows/micro-batch) to expose the per-batch
   * planning overhead separately from per-row cost. Usage:
-  * `runMain graft.tools.StreamBench [rows] [batches]`.
+  * `runMain graft.tools.StreamBench [rows] [batches] [--nd-bits N]`.
+  *
+  * `--nd-bits N` runs ONLY the near-dup path with the signature-index
+  * bucket width overridden to N bits (default: `bitsFor(index)` = 8 at
+  * the 100k index) and appends a `"mode":"nd_ab"` row including the
+  * expected bucket occupancy — the sizing A/B for the near-dup
+  * serving floor (VERDICT r14 item 5): if docs/s moves ~1/occupancy
+  * the path is rescore-bound (index-occupancy-bound, expected); if it
+  * barely moves, per-batch planning dominates at this batch size.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
-    val nRows = args.headOption.map(_.toLong).getOrElse(2000000L)
-    val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+    val ndBitsOverride = {
+      val i = args.indexOf("--nd-bits")
+      if (i >= 0) Some(args(i + 1).toInt) else None
+    }
+    val positional = args.takeWhile(_ != "--nd-bits")
+    val nRows = positional.headOption.map(_.toLong).getOrElse(2000000L)
+    val nBatches = positional.drop(1).headOption.map(_.toInt).getOrElse(20)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.tuned(SparkSession.builder()
         .master(s"local[$cpus]")
@@ -76,6 +89,64 @@ object StreamBench {
       val q = start()
       q.awaitTermination()
       rows.toDouble / ((System.nanoTime() - begin) / 1e9)
+    }
+
+    // near-dup serving path, parameterized on bucket bits so the
+    // `--nd-bits` A/B reuses the exact benched pipeline. Static
+    // 100k-signature index, incoming docs at rows/10 (each incoming doc
+    // triggers ~occupancy bucket-mates' worth of exact qcosine
+    // rescoring — the per-ROW work is ~occupancy 64-dim integer dot
+    // products, so the meaningful rate is docs/s).
+    val dim = 64
+    def vec(i: Long): Array[Float] = {
+      val a = new Array[Float](dim)
+      var j = 0
+      while (j < dim) {
+        // xxhash-free cheap deterministic mix; unit-scale irrelevant
+        // (qcosine normalizes)
+        a(j) = (((i * 2654435761L + j * 40503L) % 1000L) / 1000.0f) - 0.5f
+        j += 1
+      }
+      a
+    }
+    val nIdx = 100000L
+    def nearDupRate(ndBits: Int): Double = {
+      val idxDf = spark.range(nIdx).select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => ((pmod(xxhash64(col("id"), j, lit(7)), lit(1000L))
+            .cast("double") / 1000.0) - 0.5).cast(FloatType))
+          .as("embedding"))
+      val sigs = graft.text.Similarity.signatures(
+        idxDf, "id", "embedding", ndBits).cache()
+      sigs.count() // materialize the index outside the timed drain
+      val ndTotal = math.max(nBatches.toLong, total / 10)
+      val ndPerBatch = (ndTotal / nBatches).toInt
+      val ndIn = MemoryStream[(Long, Array[Float])]
+      (0L until nBatches).foreach { b =>
+        ndIn.addData((0 until ndPerBatch).map { j =>
+          val i = b * ndPerBatch + j
+          (nIdx + i, vec(i))
+        })
+      }
+      val rps = timeDrain(nBatches.toLong * ndPerBatch)(() =>
+        Streams.nearDupStream(ndIn.toDF().toDF("id", "embedding"),
+            sigs, "id", "embedding", minCosine = 0.6, bits = ndBits)
+          .writeStream.format("memory")
+          .queryName(s"sb_nd_$ndBits")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start())
+      sigs.unpersist()
+      rps
+    }
+
+    ndBitsOverride.foreach { b =>
+      val rps = nearDupRate(b)
+      val occ = nIdx / (1L << b)
+      SweepLog.append("stream",
+        s"""{"mode":"nd_ab","rows":$total,"batches":$nBatches,""" +
+        s""""nd_bits":$b,"expected_occupancy":$occ,""" +
+        s""""near_dup_kdocs_s":${(rps / 1000).round}}""")
+      spark.stop()
+      return
     }
 
     val winIn = MemoryStream[(Timestamp, Long, Double)]
@@ -131,47 +202,7 @@ object StreamBench {
         .writeStream.format("memory").queryName("sb_hh")
         .outputMode("update").trigger(Trigger.AvailableNow()).start())
 
-    // near-dup serving: static 100k-signature index, incoming docs at
-    // rows/10 (each incoming doc triggers ~occupancy bucket-mates'
-    // worth of exact qcosine rescoring — the per-ROW work is ~256
-    // 64-dim integer dot products, so the meaningful rate is docs/s)
-    val dim = 64
-    def vec(i: Long): Array[Float] = {
-      val a = new Array[Float](dim)
-      var j = 0
-      while (j < dim) {
-        // xxhash-free cheap deterministic mix; unit-scale irrelevant
-        // (qcosine normalizes)
-        a(j) = (((i * 2654435761L + j * 40503L) % 1000L) / 1000.0f) - 0.5f
-        j += 1
-      }
-      a
-    }
-    val nIdx = 100000L
-    val bits = graft.text.Similarity.bitsFor(nIdx)
-    val idxDf = spark.range(nIdx).select(col("id"),
-      transform(sequence(lit(0), lit(dim - 1)),
-        j => ((pmod(xxhash64(col("id"), j, lit(7)), lit(1000L))
-          .cast("double") / 1000.0) - 0.5).cast(FloatType))
-        .as("embedding"))
-    val sigs = graft.text.Similarity.signatures(
-      idxDf, "id", "embedding", bits).cache()
-    sigs.count() // materialize the index outside the timed drain
-    val ndTotal = math.max(nBatches.toLong, total / 10)
-    val ndPerBatch = (ndTotal / nBatches).toInt
-    val ndIn = MemoryStream[(Long, Array[Float])]
-    (0L until nBatches).foreach { b =>
-      ndIn.addData((0 until ndPerBatch).map { j =>
-        val i = b * ndPerBatch + j
-        (nIdx + i, vec(i))
-      })
-    }
-    val ndRps = timeDrain(nBatches.toLong * ndPerBatch)(() =>
-      Streams.nearDupStream(ndIn.toDF().toDF("id", "embedding"),
-          sigs, "id", "embedding", minCosine = 0.6, bits = bits)
-        .writeStream.format("memory").queryName("sb_nd")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start())
-    sigs.unpersist()
+    val ndRps = nearDupRate(graft.text.Similarity.bitsFor(nIdx))
 
     // streaming PIT serving: 1M-row bucketed feature history (200k
     // entities × 5 versions), query stream as-of joined per micro-batch

@@ -45,9 +45,35 @@ class GraphSpec extends SparkSpec {
       .toDF("lo", "hi")
     val r = Graph.triangleStats(edges).collect().head
     assert(r.getAs[Long]("n_edges") === 5L)
-    // wedges at low nodes: node1 -> (2,3),(2,4),(3,4); node2 -> (3,4)
-    assert(r.getAs[Long]("n_wedges") === 4L)
+    // degree order: deg(1)=deg(2)=3, deg(3)=deg(4)=2 → 3 ≺ 4 ≺ 1 ≺ 2;
+    // oriented out-sets: 3→{1,2}, 4→{1,2}, 1→{2} ⇒ wedges (3;1,2) and
+    // (4;1,2) — both close through the (1→2) edge
+    assert(r.getAs[Long]("n_wedges") === 2L)
     assert(r.getAs[Long]("n_triangles") === 2L)
+  }
+
+  test("triangleStats degree orientation is invariant to hub skew " +
+      "(star + one closing edge)") {
+    // hub 100 connected to 1..6, plus edge (1,2): exactly one triangle
+    // {1,2,100}, and the hub's fan-out must NOT appear as wedge space —
+    // deg(100)=6 puts the hub LAST in the order, so every star edge
+    // orients leaf→hub and the only wedge sources are leaves 1 and 2.
+    val star = (1L to 6L).map(i => (i, 100L))
+    val edges = (star :+ ((1L, 2L))).toDF("lo", "hi")
+    val r = Graph.triangleStats(edges).collect().head
+    assert(r.getAs[Long]("n_edges") === 7L)
+    // out-sets: 1→{2?,100}, 2→{100}, … — deg(1)=2, deg(2)=2 so 1 ≺ 2:
+    // (1,2) orients 1→2; wedge source 1 has out-set {2,100} → 1 wedge;
+    // id-orientation would have given the same here, but a LOW-id hub
+    // (id 0) would blow Σ outdeg² up to C(6,2)=15; degree order keeps
+    // it at 1 either way:
+    val lowHub = ((1L to 6L).map(i => (0L, i)) :+ ((1L, 2L)))
+      .toDF("lo", "hi")
+    val r2 = Graph.triangleStats(lowHub).collect().head
+    assert(r.getAs[Long]("n_wedges") === 1L)
+    assert(r.getAs[Long]("n_triangles") === 1L)
+    assert(r2.getAs[Long]("n_wedges") === 1L)
+    assert(r2.getAs[Long]("n_triangles") === 1L)
   }
 
   test("coOccurrenceEdges keeps only pairs above the mean overlap") {
