@@ -467,7 +467,11 @@ object StatsQueries {
     // scale-free threshold): thresholded bipartite projection, then
     // the DEGREE-ORDERED wedge-close count (Schank–Wagner; id
     // orientation explodes to 8.8 B wedges on the pl-sf3 hub graph
-    // where degree order executes 65.7 M — see graft.ops.Graph) --------
+    // where degree order executes 65.7 M — see graft.ops.Graph).
+    // The closing check is a plain JOIN (oriented edges are unique,
+    // so the counts equal EXISTS semantics): DuckDB's correlated-
+    // EXISTS plan spilled >45 GB to ENOSPC on the 65.7 M-wedge
+    // oracle at pl-sf3 where the hash join streams it. ------------------
     sql("q_graph_triangles")(
       """WITH cs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS i
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
@@ -498,9 +502,8 @@ object StatsQueries {
         |w AS (SELECT o1.dst AS x, o2.dst AS y FROM o o1 JOIN o o2
         |      ON o1.src = o2.src AND (o1.dd < o2.dd
         |        OR (o1.dd = o2.dd AND o1.dst < o2.dst))),
-        |tri AS (SELECT count(*) AS n_triangles FROM w
-        |        WHERE EXISTS (SELECT 1 FROM o
-        |                      WHERE o.src = w.x AND o.dst = w.y)),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM w JOIN o oc ON oc.src = w.x AND oc.dst = w.y),
         |nw AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
         |         AS n_wedges
         |       FROM (SELECT src, count(*) AS c FROM o GROUP BY 1))

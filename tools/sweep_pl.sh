@@ -1,16 +1,27 @@
 #!/bin/bash
 # Power-law graph-family sweep (VERDICT r14 item 1 — the tool r14 built
 # and never ran): dump q_pagerank / q_graph_triangles / q_graph_degree
-# at each gendata/pl-sf* dir passed, DuckDB-compare each (cell-exact at
-# pl-sf3/10; order-independent checksum — COMPARE_HASH_ROWS=1 — at
-# pl-sf30, where the cell-exact path would execute the heavy projection
-# oracle twice via the count bound), append PASS/FAIL rows to
-# sweeps/sweep_spot_sf30.jsonl, then record the SlopeProbe `graph`
-# analytics (distinct co-occurring pairs vs n_supp — the ~linear-growth
-# record) to sweeps/sweep_graph.jsonl.
+# at each gendata/pl-sf* dir passed, DuckDB-compare each, append
+# PASS/FAIL rows to sweeps/sweep_spot_sf30.jsonl, then record the
+# SlopeProbe `graph` analytics (distinct co-occurring pairs + both
+# wedge orientations vs n_supp) to sweeps/sweep_graph.jsonl.
 #
-# Run AFTER any bench — a spilling oracle can fill the disk under a
-# concurrent Spark run (playbook: three r10 bench "failures").
+# Comparator routing (measured, r15):
+#  - q_pagerank at sf ≥ 10 → compare_sliced.py: the ONE-SHOT oracle's
+#    multi-join hash tables all live at once and spilled >45 GB to
+#    ENOSPC at pl-sf10 (same pathology the playbook recorded at
+#    gen-sf10); the staged/sliced oracle is bounded and green.
+#  - q_graph_degree at sf30 → compare_sliced.py (same projection-size
+#    reasoning, pre-emptive).
+#  - everything else → compare.py; at sf30 COMPARE_HASH_ROWS=1 routes
+#    to the checksum path, which runs the oracle ONCE (the cell-exact
+#    path's count bound would execute the heavy pipeline twice).
+#  - q_graph_triangles' oracle closes wedges with a plain JOIN: the
+#    correlated-EXISTS form made DuckDB spill >45 GB at pl-sf3.
+#
+# A dump dir with all three query outputs is REUSED (resume after a
+# comparator fix without re-running Spark). Run AFTER any bench — a
+# spilling oracle can fill the disk under a concurrent Spark run.
 #
 # Usage: tools/sweep_pl.sh gendata/pl-sf3 gendata/pl-sf10 gendata/pl-sf30
 set -u
@@ -26,20 +37,41 @@ for dir in "$@"; do
   # Sessions scaladoc); smaller decades keep the auto heuristic.
   case $name in
     *sf30*|*sf100*) parts=256; hashrows=1; budget=5400;;
-    *)              parts=;    hashrows=20000000; budget=1800;;
+    *)              parts=;    hashrows=20000000; budget=2700;;
   esac
-  echo "[pl $(date +%H:%M:%S)] dumping $dir (parts=${parts:-auto})" | tee -a "$LOG"
-  env SPARK_GRAFT_CPUS=16 ${parts:+SPARK_GRAFT_SHUFFLE_PARTS=$parts} \
-    sbt -batch "runMain graft.Verify $dir $OUT $QS" >> "$LOG" 2>&1
-  echo "[pl] dump rc=$?" | tee -a "$LOG"
+  have_all=1
+  for q in $QS; do [ -d "$OUT/$q" ] || have_all=0; done
+  if [ $have_all = 1 ]; then
+    echo "[pl $(date +%H:%M:%S)] reusing dump $OUT (refreshing oracle_sql.json)" | tee -a "$LOG"
+    # the dump's oracle_sql.json may predate an oracle-SQL fix; the
+    # Spark outputs stay valid (query bodies unchanged) but the SQL
+    # must be current — regenerate without starting Spark
+    sbt -batch "runMain graft.Verify $dir $OUT --sql-only" >> "$LOG" 2>&1
+  else
+    echo "[pl $(date +%H:%M:%S)] dumping $dir (parts=${parts:-auto})" | tee -a "$LOG"
+    env SPARK_GRAFT_CPUS=16 ${parts:+SPARK_GRAFT_SHUFFLE_PARTS=$parts} \
+      sbt -batch "runMain graft.Verify $dir $OUT $QS" >> "$LOG" 2>&1
+    echo "[pl] dump rc=$?" | tee -a "$LOG"
+  fi
   for q in $QS; do
     if [ ! -d "$OUT/$q" ]; then
       echo "{\"sf\":\"$dir\",\"query\":\"$q\",\"status\":\"no_dump\"}" >> "$ART"
       continue
     fi
+    tool=compare
+    case "$name/$q" in
+      pl-sf3/*) tool=compare;;
+      */q_pagerank) tool=sliced;;
+      *sf30*/q_graph_degree|*sf100*/q_graph_degree) tool=sliced;;
+    esac
     t0=$(date +%s)
-    COMPARE_HASH_ROWS=$hashrows timeout "$budget" \
-      python3 tools/compare.py "$dir" "$OUT" "$q" > /tmp/pl_one.log 2>&1
+    if [ $tool = sliced ]; then
+      timeout "$budget" python3 tools/compare_sliced.py "$dir" "$OUT" "$q" \
+        > /tmp/pl_one.log 2>&1
+    else
+      COMPARE_HASH_ROWS=$hashrows timeout "$budget" \
+        python3 tools/compare.py "$dir" "$OUT" "$q" > /tmp/pl_one.log 2>&1
+    fi
     rc=$?
     dt=$(( $(date +%s) - t0 ))
     if [ $rc = 124 ]; then st=oracle_timeout
@@ -47,15 +79,18 @@ for dir in "$@"; do
     elif grep -q "^FAIL $q" /tmp/pl_one.log; then st=fail
     else st=error; fi
     cmp=cell_exact
+    grep -q "sliced oracle" /tmp/pl_one.log && cmp=sliced
     grep -q "hash comparator" /tmp/pl_one.log && cmp=hash
     rows=$(grep -oE "\(([0-9]+) rows" /tmp/pl_one.log | grep -oE "[0-9]+" | head -1)
     echo "{\"sf\":\"$dir\",\"query\":\"$q\",\"status\":\"$st\",\"sec\":$dt,\"rows\":${rows:-null},\"comparator\":\"$cmp\"}" >> "$ART"
     echo "[pl $(date +%H:%M:%S)] $name/$q: $st (${dt}s, $cmp)" | tee -a "$LOG"
     if [ $st = fail ] || [ $st = error ]; then tail -3 /tmp/pl_one.log | tee -a "$LOG"; fi
   done
-  echo "[pl $(date +%H:%M:%S)] SlopeProbe graph @ $dir" | tee -a "$LOG"
-  env SPARK_GRAFT_CPUS=16 ${parts:+SPARK_GRAFT_SHUFFLE_PARTS=$parts} \
-    sbt -batch "runMain graft.tools.SlopeProbe $dir graph" >> "$LOG" 2>&1
-  echo "[pl] probe rc=$?" | tee -a "$LOG"
+  if ! grep -q "\"sf\":\"$dir\",\"mode\":\"graph\"" sweeps/sweep_graph.jsonl 2>/dev/null; then
+    echo "[pl $(date +%H:%M:%S)] SlopeProbe graph @ $dir" | tee -a "$LOG"
+    env SPARK_GRAFT_CPUS=16 ${parts:+SPARK_GRAFT_SHUFFLE_PARTS=$parts} \
+      sbt -batch "runMain graft.tools.SlopeProbe $dir graph" >> "$LOG" 2>&1
+    echo "[pl] probe rc=$?" | tee -a "$LOG"
+  fi
 done
 echo "[pl] done" | tee -a "$LOG"
