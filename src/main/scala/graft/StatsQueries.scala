@@ -478,17 +478,17 @@ object StatsQueries {
         |cf AS (SELECT c, i FROM (SELECT c, i,
         |         count(*) OVER (PARTITION BY c) AS deg FROM cs)
         |       WHERE deg <= 500),
-        |p AS (SELECT a.i AS lo, b.i AS hi, count(*) AS sh
+        |p AS MATERIALIZED (SELECT a.i AS lo, b.i AS hi, count(*) AS sh
         |      FROM cf a JOIN cf b ON a.c = b.c AND a.i < b.i
         |      GROUP BY 1, 2),
         |m AS (SELECT CAST(CAST(sum(sh) AS BIGINT) AS DOUBLE) /
         |        CAST(count(*) AS DOUBLE) AS mu FROM p),
-        |e AS (SELECT lo, hi FROM p, m
+        |e AS MATERIALIZED (SELECT lo, hi FROM p, m
         |      WHERE CAST(sh AS DOUBLE) >= 1.08e0 * m.mu),
-        |deg AS (SELECT node, count(*) AS d FROM (
+        |deg AS MATERIALIZED (SELECT node, count(*) AS d FROM (
         |          SELECT lo AS node FROM e
         |          UNION ALL SELECT hi AS node FROM e) GROUP BY 1),
-        |o AS (SELECT CASE WHEN da.d < db.d
+        |o AS MATERIALIZED (SELECT CASE WHEN da.d < db.d
         |               OR (da.d = db.d AND e.lo < e.hi)
         |             THEN e.lo ELSE e.hi END AS src,
         |             CASE WHEN da.d < db.d
