@@ -36,8 +36,13 @@ for dir in "$@"; do
   # ≥sf30: 256 shuffle partitions per the per-decade sizing (playbook /
   # Sessions scaladoc); smaller decades keep the auto heuristic.
   case $name in
-    *sf30*|*sf100*) parts=256; hashrows=1; budget=5400;;
-    *)              parts=;    hashrows=20000000; budget=2700;;
+    # sf100: hashrows=0 routes EVERY compare (even 1-row outputs) to
+    # the checksum path, which runs the oracle ONCE per side — the
+    # cell-exact path's count bound would execute the ~25 min
+    # triangles pipeline twice
+    *sf100*) parts=256; hashrows=0; budget=5400;;
+    *sf30*)  parts=256; hashrows=1; budget=5400;;
+    *)       parts=;    hashrows=20000000; budget=2700;;
   esac
   have_all=1
   for q in $QS; do [ -d "$OUT/$q" ] || have_all=0; done
