@@ -148,6 +148,65 @@ def oracle_graph_degree(con, work, ns):
         "GROUP BY 1 ORDER BY degree")
 
 
+def oracle_graph_triangles(con, work, ns):
+    # Same staged projection as q_graph_degree (e0 sliced by custkey,
+    # cf window-capped, p sliced by hash(a.i) — each output pair has
+    # one lo so slices are disjoint). Downstream (degree-ordered
+    # orientation, wedge join, closing join) is edge-table-sized build
+    # hash joins over a streamed wedge probe — bounded memory, no
+    # slicing needed; the ONE-SHOT form of this oracle spilled >45 GB
+    # to ENOSPC at pl-sf100 because the projection's hash tables and
+    # the wedge stage live at once.
+    staged(con, work, "e0", lambda k:
+           "SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s "
+           "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+           f"WHERE o.o_custkey % {ns} = {k}", slices=ns)
+    staged(con, work, "cf", lambda k:
+           "SELECT c, i FROM (SELECT c, s AS i, "
+           "  count(*) OVER (PARTITION BY c) AS deg FROM e0) "
+           "WHERE deg <= 500")
+    staged(con, work, "p", lambda k:
+           "SELECT a.i AS lo, b.i AS hi, count(*) AS sh "
+           "FROM cf a JOIN cf b ON a.c = b.c AND a.i < b.i "
+           f"WHERE hash(a.i) % {ns} = {k} GROUP BY 1, 2", slices=ns)
+    mu = con.execute(
+        "SELECT CAST(CAST(sum(sh) AS BIGINT) AS DOUBLE) / "
+        "CAST(count(*) AS DOUBLE) FROM p").fetchone()[0]
+    if mu is None:
+        print("FAIL q_graph_triangles: staged pair table is empty "
+              "(degenerate input?) — no mean to threshold against")
+        sys.exit(1)
+    log(f"mu = {mu}")
+    con.execute("CREATE OR REPLACE TABLE e AS SELECT lo, hi FROM p "
+                f"WHERE CAST(sh AS DOUBLE) >= 1.08e0 * {mu!r}")
+    con.execute("CREATE OR REPLACE TABLE deg AS "
+                "SELECT node, count(*) AS d FROM ("
+                "  SELECT lo AS node FROM e "
+                "  UNION ALL SELECT hi AS node FROM e) GROUP BY 1")
+    con.execute(
+        "CREATE OR REPLACE TABLE o AS SELECT "
+        "CASE WHEN da.d < db.d OR (da.d = db.d AND e.lo < e.hi) "
+        "  THEN e.lo ELSE e.hi END AS src, "
+        "CASE WHEN da.d < db.d OR (da.d = db.d AND e.lo < e.hi) "
+        "  THEN e.hi ELSE e.lo END AS dst, "
+        "CASE WHEN da.d < db.d OR (da.d = db.d AND e.lo < e.hi) "
+        "  THEN db.d ELSE da.d END AS dd "
+        "FROM e JOIN deg da ON da.node = e.lo "
+        "       JOIN deg db ON db.node = e.hi")
+    log("oriented edge table built")
+    return (
+        "WITH w AS (SELECT o1.dst AS x, o2.dst AS y FROM o o1 JOIN o o2 "
+        "  ON o1.src = o2.src AND (o1.dd < o2.dd "
+        "    OR (o1.dd = o2.dd AND o1.dst < o2.dst))), "
+        "tri AS (SELECT count(*) AS n_triangles "
+        "        FROM w JOIN o oc ON oc.src = w.x AND oc.dst = w.y), "
+        "nw AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)"
+        "         AS n_wedges "
+        "       FROM (SELECT src, count(*) AS c FROM o GROUP BY 1)) "
+        "SELECT (SELECT count(*) FROM e) AS n_edges, "
+        "       nw.n_wedges, tri.n_triangles FROM tri, nw")
+
+
 def oracle_minhash_md5(con, work, ns):
     # Signatures are linear — staged once (sliced only to bound each
     # query's md5 burst). The band-bucket self-join slices by
@@ -224,6 +283,7 @@ def oracle_embed_pairs_lsh(con, work, ns):
 ORACLES = {
     "q_pagerank": oracle_pagerank,
     "q_graph_degree": oracle_graph_degree,
+    "q_graph_triangles": oracle_graph_triangles,
     "q_dedup_minhash_md5": oracle_minhash_md5,
     "q_embed_pairs_lsh": oracle_embed_pairs_lsh,
 }
