@@ -107,6 +107,13 @@ object Sessions {
       // partition count (ADVICE r13). Failures are counted and warned.
       var sum = 0L
       var failed = 0L
+      // Dedup by REAL path: FOLLOW_LINKS loop detection only catches
+      // ancestor cycles — two sibling symlinks resolving to the same
+      // parquet would otherwise double-count its bytes and inflate the
+      // shuffle-partition sizing (ADVICE r15; symlinked corpus layouts
+      // are exactly what FOLLOW_LINKS was added for). An unresolvable
+      // path counts by its visible identity rather than being dropped.
+      val seen = scala.collection.mutable.HashSet[Path]()
       // FOLLOW_LINKS: a NOFOLLOW walk sees a symlinked parquet as a
       // symlink (attrs.isRegularFile = false) and silently sizes an
       // sf dir built from symlinks as ~0 — the CPU-floor sizing this
@@ -120,7 +127,10 @@ object Sessions {
         override def visitFile(p: Path,
                                attrs: BasicFileAttributes): FileVisitResult = {
           if (attrs.isRegularFile &&
-            p.getFileName.toString.endsWith(".parquet")) sum += attrs.size()
+            p.getFileName.toString.endsWith(".parquet")) {
+            val real = scala.util.Try(p.toRealPath()).getOrElse(p)
+            if (seen.add(real)) sum += attrs.size()
+          }
           FileVisitResult.CONTINUE
         }
         override def visitFileFailed(p: Path,

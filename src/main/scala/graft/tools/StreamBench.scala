@@ -42,7 +42,14 @@ import graft.streaming.Streams
   * `sweeps/sweep_stream.jsonl` (SweepLog); sweep at TWO batch sizes
   * (e.g. 100k and 20k rows/micro-batch) to expose the per-batch
   * planning overhead separately from per-row cost. Usage:
-  * `runMain graft.tools.StreamBench [rows] [batches] [--nd-bits N]`.
+  * `runMain graft.tools.StreamBench [rows] [batches] [--nd-bits N]
+  * [--parts N]`.
+  *
+  * `--parts N` overrides the shuffle-partition (= state-store
+  * partition) count for the run — the A/B knob for the fixed per-batch
+  * cost F (VERDICT r15 item 1): every micro-batch opens and commits one
+  * RocksDB store instance per partition, so at tiny batches F scales
+  * with the partition count, not the data.
   *
   * `--nd-bits N` runs ONLY the near-dup path with the signature-index
   * bucket width overridden to N bits (default: `bitsFor(index)` = 8 at
@@ -54,18 +61,46 @@ import graft.streaming.Streams
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
-    val ndBitsOverride = {
-      val i = args.indexOf("--nd-bits")
-      if (i >= 0) Some(args(i + 1).toInt) else None
+    // flag parsing: flags may appear anywhere; each takes one value.
+    // A trailing flag with no value or a non-flag after the positionals
+    // is a usage error, not an ArrayIndexOutOfBounds / silent drop
+    // (ADVICE r15).
+    val flagNames = Set("--nd-bits", "--parts")
+    val flags = scala.collection.mutable.Map[String, String]()
+    val positional = scala.collection.mutable.Buffer[String]()
+    var i = 0
+    while (i < args.length) {
+      if (flagNames(args(i))) {
+        require(i + 1 < args.length, s"${args(i)} requires a value " +
+          "(usage: StreamBench [rows] [batches] [--nd-bits N] [--parts N])")
+        flags(args(i)) = args(i + 1)
+        i += 2
+      } else {
+        require(!args(i).startsWith("--"), s"unknown flag ${args(i)} " +
+          "(usage: StreamBench [rows] [batches] [--nd-bits N] [--parts N])")
+        positional += args(i)
+        i += 1
+      }
     }
-    val positional = args.takeWhile(_ != "--nd-bits")
+    require(positional.size <= 2, s"unexpected extra positional args: " +
+      positional.drop(2).mkString(" "))
+    val ndBitsOverride = flags.get("--nd-bits").map(_.toInt)
     val nRows = positional.headOption.map(_.toLong).getOrElse(2000000L)
     val nBatches = positional.drop(1).headOption.map(_.toInt).getOrElse(20)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // `--parts N` overrides the shuffle-partition count — for stateful
+    // streams this is the STATE-STORE partition count (fixed at the
+    // first checkpoint): every micro-batch opens+commits one store per
+    // partition, so it is the lever on the fixed per-batch cost F the
+    // §6.2 two-rate table isolates (VERDICT r15 item 1). The
+    // batch-oriented Sessions.shuffleParts sizing is wrong-shaped for
+    // micro-batches (their shuffles are batch-sized, not corpus-sized).
+    val shuffleParts = flags.get("--parts").map(_.toInt)
+      .getOrElse(Sessions.shuffleParts(cpus.toInt))
     val spark = Sessions.tuned(SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.warehouse.dir", Sessions.tempWarehouse())
-        .config("spark.ui.enabled", "false"), Sessions.shuffleParts(cpus.toInt))
+        .config("spark.ui.enabled", "false"), shuffleParts)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // transformWithState requires the RocksDB store; use it uniformly
@@ -143,6 +178,7 @@ object StreamBench {
       val occ = nIdx / (1L << b)
       SweepLog.append("stream",
         s"""{"mode":"nd_ab","rows":$total,"batches":$nBatches,""" +
+        s""""parts":$shuffleParts,""" +
         s""""nd_bits":$b,"expected_occupancy":$occ,""" +
         s""""near_dup_kdocs_s":${(rps / 1000).round}}""")
       spark.stop()
@@ -233,6 +269,7 @@ object StreamBench {
 
     SweepLog.append("stream",
       s"""{"rows":$total,"batches":$nBatches,"per_batch":$perBatch,""" +
+      s""""parts":$shuffleParts,""" +
       s""""windowed_agg_krows_s":${(winRps / 1000).round},""" +
       s""""map_groups_state_krows_s":${(mgsRps / 1000).round},""" +
       s""""tws_rolling_krows_s":${(twsRps / 1000).round},""" +

@@ -42,4 +42,24 @@ class SessionsSpec extends AnyFunSuite {
     fake("sub/part-0.parquet", 64)
     assert(Sessions.shuffleParts(8, dir.toString) == 25)
   }
+
+  test("inputBytes counts a file reached via several sibling symlinks" +
+      " once (real-path dedup), and symlinked parquet at all") {
+    val real = java.nio.file.Files.createTempDirectory("graft-real")
+    val linked = java.nio.file.Files.createTempDirectory("graft-links")
+    val f = real.resolve("lineitem.parquet")
+    val ch = java.nio.file.Files.newByteChannel(f,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    ch.position(10L * 1048576 - 1)
+    ch.write(java.nio.ByteBuffer.wrap(Array[Byte](0)))
+    ch.close()
+    // two sibling symlinks to the SAME parquet: loop detection can't
+    // see this (no ancestor cycle) — dedup must (ADVICE r15)
+    java.nio.file.Files.createSymbolicLink(
+      linked.resolve("lineitem.parquet"), f)
+    java.nio.file.Files.createSymbolicLink(
+      linked.resolve("orders.parquet"), f)
+    assert(Sessions.inputBytes(linked.toString) == 10L * 1048576)
+  }
 }

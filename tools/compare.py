@@ -18,6 +18,52 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Comparator routing (VERDICT r15 item 4 — promoted here from
+# tools/sweep_pl.sh's case statement so the sliced-vs-one-shot choice is
+# the tool's, not per-sweep tribal knowledge). For the five queries with
+# a staged/sliced oracle (compare_sliced.ORACLES), route to it once the
+# query's driver table outgrows the threshold; below it the one-shot
+# DuckDB oracle is known-good. The probe is a count(*) on the driver
+# table's parquet — footer metadata only, no scan. Each threshold sits
+# between the largest decade where the one-shot form is recorded green
+# and the smallest where it is recorded spilling to ENOSPC / blowing the
+# sweep budget (sweeps/sweep_spot_sf30.jsonl; compare_sliced.py header):
+#   q_pagerank         one-shot green at 4.5M orders (pl-sf3),
+#                      >45 GB spill at 15M (pl-sf10)
+#   q_graph_degree     green at 15M orders but 715 s (gen-sf10);
+#                      sliced from 45M (pl-sf30, 30 s)
+#   q_graph_triangles  green at 45M orders (887 s, pl-sf30);
+#                      >42 GB spill at 150M (pl-sf100)
+#   q_dedup_minhash_md5 green at 150k documents (gen-sf3);
+#                      >300 s at 500k (gen-sf10)
+#   q_embed_pairs_lsh  green at 60k embeddings (gen-sf3);
+#                      >300 s at 200k (gen-sf10)
+# COMPARE_ROUTE=oneshot|sliced overrides (negative controls, A/Bs).
+SLICED_ROUTE = {
+    "q_pagerank": ("orders", 8_000_000),
+    "q_graph_degree": ("orders", 25_000_000),
+    "q_graph_triangles": ("orders", 80_000_000),
+    "q_dedup_minhash_md5": ("documents", 300_000),
+    "q_embed_pairs_lsh": ("embeddings", 120_000),
+}
+
+
+def route_sliced(con, sf_dir, name):
+    """True when `name` should use the staged/sliced oracle here."""
+    forced = os.environ.get("COMPARE_ROUTE")
+    if forced == "oneshot":
+        return False
+    if forced == "sliced":
+        return name in SLICED_ROUTE
+    if name not in SLICED_ROUTE:
+        return False
+    table, threshold = SLICED_ROUTE[name]
+    path = f"{sf_dir}/{table}.parquet"
+    if not os.path.exists(path):
+        return False
+    rows = con.execute(f"SELECT count(*) FROM '{path}'").fetchone()[0]
+    return rows > threshold
+
 
 def first_mismatch(spark, oracle):
     """First differing (row, col, spark_val, oracle_val), or None.
@@ -99,6 +145,19 @@ def main():
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_fail += 1
             continue
+        if route_sliced(con, sf_dir, name):
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from compare_sliced import run as sliced_run
+            try:
+                ok = sliced_run(sf_dir, out_dir, name)
+            except Exception as e:
+                print(f"FAIL {name}: sliced comparator error: {e}")
+                ok = False
+            if ok:
+                n_pass += 1
+            else:
+                n_fail += 1
+            continue
         if dump_rows > hash_rows:
             from compare_hash import hash_compare
             try:
@@ -130,9 +189,16 @@ def main():
         # mismatch where the dump is small but the oracle is huge would
         # fetchdf() the full oracle and OOM instead of failing cleanly
         # (ADVICE r14) — bound the oracle side with a count first.
+        # Materialize the oracle ONCE into a temp table (spills under
+        # the memory_limit/temp_directory set above) and derive both the
+        # count bound and the compared frame from it: running the full
+        # pipeline twice (count(*) then fetchdf) doubled oracle cost for
+        # every heavy-pipeline/small-output query, e.g. the ~46 s
+        # pl-sf3 triangles oracle (ADVICE r15).
         try:
+            con.execute(f"CREATE OR REPLACE TEMPORARY TABLE __o AS {sql}")
             oracle_rows = con.execute(
-                f"SELECT count(*) FROM ({sql})").fetchone()[0]
+                "SELECT count(*) FROM __o").fetchone()[0]
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
@@ -140,14 +206,11 @@ def main():
         if oracle_rows > hash_rows:
             print(f"FAIL {name}: rows {dump_rows} vs {oracle_rows} "
                   f"(oracle exceeds pandas budget; not loaded)")
+            con.execute("DROP TABLE __o")
             n_fail += 1
             continue
-        try:
-            oracle = con.execute(sql).fetchdf()
-        except Exception as e:
-            print(f"FAIL {name}: oracle sql error: {e}")
-            n_fail += 1
-            continue
+        oracle = con.execute("SELECT * FROM __o").fetchdf()
+        con.execute("DROP TABLE __o")
         spark = spark[sorted(spark.columns)]
         oracle = oracle[sorted(oracle.columns)]
         if list(spark.columns) != list(oracle.columns):

@@ -134,9 +134,9 @@ def oracle_graph_degree(con, work, ns):
     if mu is None:  # empty pair table (tiny/degenerate input) — say so
         # rather than interpolating the literal None into the threshold
         # SQL and dying on a parse error
-        print("FAIL q_graph_degree: staged pair table is empty "
-              "(degenerate input?) — no mean to threshold against")
-        sys.exit(1)
+        raise SlicedOracleError(
+            "staged pair table is empty (degenerate input?) — "
+            "no mean to threshold against")
     log(f"mu = {mu}")
     return (
         "WITH e AS (SELECT lo, hi FROM p "
@@ -173,9 +173,9 @@ def oracle_graph_triangles(con, work, ns):
         "SELECT CAST(CAST(sum(sh) AS BIGINT) AS DOUBLE) / "
         "CAST(count(*) AS DOUBLE) FROM p").fetchone()[0]
     if mu is None:
-        print("FAIL q_graph_triangles: staged pair table is empty "
-              "(degenerate input?) — no mean to threshold against")
-        sys.exit(1)
+        raise SlicedOracleError(
+            "staged pair table is empty (degenerate input?) — "
+            "no mean to threshold against")
     log(f"mu = {mu}")
     con.execute("CREATE OR REPLACE TABLE e AS SELECT lo, hi FROM p "
                 f"WHERE CAST(sh AS DOUBLE) >= 1.08e0 * {mu!r}")
@@ -289,13 +289,22 @@ ORACLES = {
 }
 
 
-def main():
-    sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
-    ns = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+class SlicedOracleError(Exception):
+    """A staged oracle found its input degenerate (no result to build)."""
+
+
+def run(sf_dir, out_dir, name, ns=16):
+    """Stage the sliced oracle for `name` and compare the Spark dump.
+
+    Prints the same PASS/FAIL lines as the CLI and returns True/False —
+    the callable form tools/compare.py auto-routes into (VERDICT r15
+    item 4: the sliced-vs-one-shot choice used to live in
+    tools/sweep_pl.sh's case statement).
+    """
     if name not in ORACLES:
         print(f"FAIL {name}: no sliced oracle "
               f"(have: {' '.join(sorted(ORACLES))})")
-        sys.exit(2)
+        return False
     # Key the work dir on the INPUT as well as the query: staged oracle
     # parquet from one scale decade must never be compared against a
     # Spark dump from another (the tool's expected usage is exactly
@@ -328,7 +337,11 @@ def main():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     t0 = time.time()
-    oracle_sql = ORACLES[name](con, work, ns)
+    try:
+        oracle_sql = ORACLES[name](con, work, ns)
+    except SlicedOracleError as e:
+        print(f"FAIL {name}: {e}")
+        return False
     log(f"oracle staged in {time.time() - t0:.1f}s")
     dump = f"{out_dir}/{name}/*.parquet"
     dump_rows = con.execute(f"SELECT count(*) FROM '{dump}'").fetchone()[0]
@@ -343,10 +356,10 @@ def main():
         if not ok:
             print(f"FAIL {name}: spark(rows,sum)={got} oracle={want}"
                   f" (sliced oracle, hash comparator)")
-            sys.exit(1)
+            return False
         print(f"PASS {name} ({got[0]} rows, sliced oracle,"
               f" hash comparator)")
-        return
+        return True
     spark = con.execute(f"SELECT * FROM '{dump}'").fetchdf()
     oracle = con.execute(oracle_sql).fetchdf()
     spark = spark[sorted(spark.columns)]
@@ -354,16 +367,27 @@ def main():
     if list(spark.columns) != list(oracle.columns):
         print(f"FAIL {name}: columns {list(spark.columns)} "
               f"vs {list(oracle.columns)}")
-        sys.exit(1)
+        return False
     if len(spark) != len(oracle):
         print(f"FAIL {name}: rows {len(spark)} vs {len(oracle)}")
-        sys.exit(1)
+        return False
     bad = first_mismatch(spark, oracle)
     if bad:
         i, c, x, y = bad
         print(f"FAIL {name}: row {i} col {c}: spark={x!r} oracle={y!r}")
-        sys.exit(1)
+        return False
     print(f"PASS {name} ({len(spark)} rows, sliced oracle)")
+    return True
+
+
+def main():
+    sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
+    ns = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    if name not in ORACLES:
+        print(f"FAIL {name}: no sliced oracle "
+              f"(have: {' '.join(sorted(ORACLES))})")
+        sys.exit(2)
+    sys.exit(0 if run(sf_dir, out_dir, name, ns) else 1)
 
 
 if __name__ == "__main__":

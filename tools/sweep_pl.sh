@@ -6,18 +6,15 @@
 # SlopeProbe `graph` analytics (distinct co-occurring pairs + both
 # wedge orientations vs n_supp) to sweeps/sweep_graph.jsonl.
 #
-# Comparator routing (measured, r15):
-#  - q_pagerank at sf ≥ 10 → compare_sliced.py: the ONE-SHOT oracle's
-#    multi-join hash tables all live at once and spilled >45 GB to
-#    ENOSPC at pl-sf10 (same pathology the playbook recorded at
-#    gen-sf10); the staged/sliced oracle is bounded and green.
-#  - q_graph_degree at sf30 → compare_sliced.py (same projection-size
-#    reasoning, pre-emptive).
-#  - everything else → compare.py; at sf30 COMPARE_HASH_ROWS=1 routes
-#    to the checksum path, which runs the oracle ONCE (the cell-exact
-#    path's count bound would execute the heavy pipeline twice).
-#  - q_graph_triangles' oracle closes wedges with a plain JOIN: the
-#    correlated-EXISTS form made DuckDB spill >45 GB at pl-sf3.
+# Comparator routing now lives in tools/compare.py (SLICED_ROUTE +
+# route_sliced — VERDICT r15 item 4): compare.py probes the driver
+# table's row count (parquet metadata only) and picks the staged/sliced
+# oracle past the measured one-shot-viability threshold per query. This
+# script just calls compare.py. The decade-specific COMPARE_HASH_ROWS
+# special cases are gone too: compare.py now materializes a one-shot
+# oracle exactly ONCE (temp table) for the cell-exact path, so the
+# double-execution that forced the checksum route at sf30/sf100 no
+# longer exists (ADVICE r15).
 #
 # A dump dir with all three query outputs is REUSED (resume after a
 # comparator fix without re-running Spark). Run AFTER any bench — a
@@ -36,13 +33,9 @@ for dir in "$@"; do
   # ≥sf30: 256 shuffle partitions per the per-decade sizing (playbook /
   # Sessions scaladoc); smaller decades keep the auto heuristic.
   case $name in
-    # sf100: hashrows=0 routes EVERY compare (even 1-row outputs) to
-    # the checksum path, which runs the oracle ONCE per side — the
-    # cell-exact path's count bound would execute the ~25 min
-    # triangles pipeline twice
-    *sf100*) parts=256; hashrows=0; budget=5400;;
-    *sf30*)  parts=256; hashrows=1; budget=5400;;
-    *)       parts=;    hashrows=20000000; budget=2700;;
+    *sf100*) parts=256; budget=5400;;
+    *sf30*)  parts=256; budget=5400;;
+    *)       parts=;    budget=2700;;
   esac
   have_all=1
   for q in $QS; do [ -d "$OUT/$q" ] || have_all=0; done
@@ -63,20 +56,9 @@ for dir in "$@"; do
       echo "{\"sf\":\"$dir\",\"query\":\"$q\",\"status\":\"no_dump\"}" >> "$ART"
       continue
     fi
-    tool=compare
-    case "$name/$q" in
-      pl-sf3/*) tool=compare;;
-      */q_pagerank) tool=sliced;;
-      *sf30*/q_graph_degree|*sf100*/q_graph_degree) tool=sliced;;
-    esac
     t0=$(date +%s)
-    if [ $tool = sliced ]; then
-      timeout "$budget" python3 tools/compare_sliced.py "$dir" "$OUT" "$q" \
-        > /tmp/pl_one.log 2>&1
-    else
-      COMPARE_HASH_ROWS=$hashrows timeout "$budget" \
-        python3 tools/compare.py "$dir" "$OUT" "$q" > /tmp/pl_one.log 2>&1
-    fi
+    timeout "$budget" \
+      python3 tools/compare.py "$dir" "$OUT" "$q" > /tmp/pl_one.log 2>&1
     rc=$?
     dt=$(( $(date +%s) - t0 ))
     if [ $rc = 124 ]; then st=oracle_timeout
