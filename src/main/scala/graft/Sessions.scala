@@ -70,6 +70,26 @@ object Sessions {
   def shuffleParts(cpus: Int): Int =
     sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS").map(_.toInt).getOrElse(cpus)
 
+  /** Shuffle-partition (= state-store partition) count for STREAMING
+    * micro-batch deployments: `cpus / 2`, floor 4. Micro-batch shuffles
+    * are batch-sized, not corpus-sized, so the batch heuristics above
+    * are wrong-shaped for them: every micro-batch opens and commits one
+    * RocksDB store per partition, making the fixed per-batch cost F
+    * scale with the partition count. Measured (r16 two-rate StreamBench
+    * A/B, sweeps/sweep_stream.jsonl): windowedAgg F = 0.42/0.38/0.33 s
+    * per batch at parts 32/16/8 on 32 cores, marginal per-row rate
+    * unchanged; parts = cpus/2 won or tied every serving path at both
+    * 20k and 100k rows/batch except transformWithState rolling stats at
+    * 100k (−6 %), while parts = cpus/4 capped that state-heavy path
+    * (165→113 krows/s). RocksDB changelog checkpointing was also A/B'd
+    * and REJECTED for local-disk checkpoints (uniformly worse at 100k:
+    * windowedAgg 101→94, PIT 545→482 krows/s — snapshot upload is
+    * already cheap locally; the changelog only adds write overhead).
+    * The partition count is fixed at the first checkpoint — set this
+    * before starting a stateful query, not after.
+    */
+  def streamShuffleParts(cpus: Int): Int = math.max(cpus / 2, 4)
+
   /** Shuffle-partition count AUTO-SIZED from the input data: `cpus` for
     * small inputs, growing one partition per 64 MB of compressed
     * parquet once the sf dir outgrows `cpus × 64 MB`. 64 MB zstd

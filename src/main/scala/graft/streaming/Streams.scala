@@ -17,6 +17,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   * (state is evicted, never unbounded); per-key state in
   * [[runningUserStats]] is fixed-size; sinks are partitioned parquet
   * appends which scale horizontally with executor count.
+  *
+  * Deployment sizing: set `spark.sql.shuffle.partitions` to
+  * [[graft.Sessions.streamShuffleParts]] (cores/2) BEFORE starting a
+  * stateful query — micro-batch shuffles are batch-sized, and the
+  * per-batch fixed cost (state-store open/commit per partition +
+  * re-planning) scales with the partition count; the batch-oriented
+  * corpus-sized heuristic over-partitions small-trigger loops (measured
+  * r16, sweeps/sweep_stream.jsonl). The count freezes at the first
+  * checkpoint.
   */
 object Streams {
 

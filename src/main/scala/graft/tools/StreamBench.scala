@@ -65,7 +65,7 @@ object StreamBench {
     // A trailing flag with no value or a non-flag after the positionals
     // is a usage error, not an ArrayIndexOutOfBounds / silent drop
     // (ADVICE r15).
-    val flagNames = Set("--nd-bits", "--parts")
+    val flagNames = Set("--nd-bits", "--parts", "--changelog")
     val flags = scala.collection.mutable.Map[String, String]()
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
@@ -96,7 +96,8 @@ object StreamBench {
     // batch-oriented Sessions.shuffleParts sizing is wrong-shaped for
     // micro-batches (their shuffles are batch-sized, not corpus-sized).
     val shuffleParts = flags.get("--parts").map(_.toInt)
-      .getOrElse(Sessions.shuffleParts(cpus.toInt))
+      .getOrElse(sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS").map(_.toInt)
+        .getOrElse(Sessions.streamShuffleParts(cpus.toInt)))
     val spark = Sessions.tuned(SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.warehouse.dir", Sessions.tempWarehouse())
@@ -108,6 +109,15 @@ object StreamBench {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
+    // `--changelog 1`: RocksDB changelog checkpointing — commits write
+    // the batch's change set instead of snapshotting the store, the
+    // designed mitigation for per-batch commit cost at small batches
+    // (the other half of the F A/B, alongside --parts).
+    val changelog = flags.get("--changelog").exists(_ == "1")
+    if (changelog) {
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", "true")
+    }
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
 
@@ -178,7 +188,7 @@ object StreamBench {
       val occ = nIdx / (1L << b)
       SweepLog.append("stream",
         s"""{"mode":"nd_ab","rows":$total,"batches":$nBatches,""" +
-        s""""parts":$shuffleParts,""" +
+        s""""parts":$shuffleParts,"changelog":$changelog,""" +
         s""""nd_bits":$b,"expected_occupancy":$occ,""" +
         s""""near_dup_kdocs_s":${(rps / 1000).round}}""")
       spark.stop()
@@ -269,7 +279,7 @@ object StreamBench {
 
     SweepLog.append("stream",
       s"""{"rows":$total,"batches":$nBatches,"per_batch":$perBatch,""" +
-      s""""parts":$shuffleParts,""" +
+      s""""parts":$shuffleParts,"changelog":$changelog,""" +
       s""""windowed_agg_krows_s":${(winRps / 1000).round},""" +
       s""""map_groups_state_krows_s":${(mgsRps / 1000).round},""" +
       s""""tws_rolling_krows_s":${(twsRps / 1000).round},""" +
