@@ -291,11 +291,17 @@ object MlQueries {
       val ratings = syntheticRatings(s, dir)
       val factors = RankKFactorizer.factorize(ratings, rank = 8,
         seed = 42L, maxIter = 5)
-      val traj = Simulation.generateTrajectories(s, factors,
+      // fused transition stream (nest∘flatten elided — identical
+      // multiset, see Simulation.transitions; the nested interchange
+      // form is exercised by q_tfrecord_roundtrip and MlSpec)
+      val traj = Simulation.transitions(s, factors,
         steps = 50, batchSize = 8, numActions = 20, seed = 42L)
       // cached: feeds both the training pass and the scoring pass —
-      // without it the whole simulation DAG re-executes for scoring
-      val flat = Simulation.flattenForTraining(traj).cache()
+      // without it the whole simulation DAG re-executes for scoring.
+      // (localCheckpoint was A/B'd r16: no gain — the per-execution
+      // cost is fixed exec/agg machinery, not lineage re-analysis —
+      // and checkpoint blocks are non-replayable on executor loss.)
+      val flat = traj.cache()
       val model = LinUcb.fit(flat, "action", "obs", "reward", dim = 8,
         alpha = 0.5, lambda = 1.0)
       LinUcb.score(model, flat, "obs")

@@ -17,14 +17,30 @@ object RankKFactorizer {
 
   /** Factorize (user_id, item_id, rating) into rank-k latent factors.
     * Returns two DataFrames: (id, features array<float>) each.
+    *
+    * `numBlocks` is the ALS user/item block count — the unit of both
+    * shuffle parallelism and task count inside every ALS iteration.
+    * MLlib's default (10) is a fixed constant; at cluster scale size it
+    * so a block's ratings fit an executor's memory. Two measured
+    * caveats (r16, q_bandit_loop at sf0.1): (1) locally it is NOT a
+    * latency lever — blocks 10→4 cut tasks 360→228 with no wall-time
+    * change (the query is driver-gap-bound, not task-bound); (2) the
+    * block layout changes normal-equation summation ORDER, so the
+    * learned factors differ numerically across block counts (verified:
+    * a blocks=4 run diverged the bandit loop's reward sums entirely).
+    * Registered queries therefore keep the default for
+    * reproducibility; deployments re-tuning it re-baseline outputs.
     */
   def factorize(ratings: DataFrame, rank: Int, seed: Long = 42L,
-                maxIter: Int = 10, regParam: Double = 0.1): Factors = {
+                maxIter: Int = 10, regParam: Double = 0.1,
+                numBlocks: Int = 10): Factors = {
     val als = new ALS()
       .setRank(rank)
       .setSeed(seed)
       .setMaxIter(maxIter)
       .setRegParam(regParam)
+      .setNumUserBlocks(numBlocks)
+      .setNumItemBlocks(numBlocks)
       .setUserCol("user_id")
       .setItemCol("item_id")
       .setRatingCol("rating")

@@ -29,6 +29,40 @@ object Simulation {
   def generateTrajectories(spark: SparkSession, factors:
       RankKFactorizer.Factors, steps: Int, batchSize: Int,
       numActions: Int, seed: Long = 42L): DataFrame = {
+    val joined = joinedTransitions(spark, factors, steps, batchSize,
+      numActions, seed)
+    // Nest into the reference trajectory schema: arrays ordered by slot.
+    joined
+      .groupBy("step")
+      .agg(
+        transform(array_sort(collect_list(struct(col("slot"),
+          col("action"), col("reward"), col("obs")))),
+          s => s.getField("action").cast("long")).as("action"),
+        transform(array_sort(collect_list(struct(col("slot"),
+          col("obs")))),
+          s => struct(s.getField("obs").as("observation_batch")))
+          .as("observation"),
+        transform(array_sort(collect_list(struct(col("slot"),
+          col("reward")))), s => s.getField("reward")).as("reward"))
+      .withColumn("step_type",
+        transform(col("action"), _ => lit(1L)))
+      .withColumn("next_step_type",
+        transform(col("action"), _ => lit(1L)))
+      .withColumn("discount",
+        transform(col("reward"), _ => lit(1.0d)))
+      .withColumn("policy_info", array().cast("array<double>"))
+      .select("step", "step_type", "observation", "action",
+        "policy_info", "next_step_type", "reward", "discount")
+  }
+
+  /** The shared simulation core: one row per (step, slot) transition
+    * with its sampled user's latent obs, the action, and the rank-k
+    * inner-product reward — broadcast factor lookups only, no shuffle
+    * of the transition stream.
+    */
+  private def joinedTransitions(spark: SparkSession, factors:
+      RankKFactorizer.Factors, steps: Int, batchSize: Int,
+      numActions: Int, seed: Long): DataFrame = {
     // Persisted: the factor tables are tiny (dims of the rank-k env)
     // but sit atop the ITERATIVE ALS lineage — every extra pass
     // (zipIndex samples + counts, the nItems lookup) would re-run the
@@ -59,36 +93,34 @@ object Simulation {
     val itemIdx = graft.ops.Relational
       .zipIndex(items, Seq(col("item_id")), "__i")
       .withColumn("item_pick", col("__i").cast("int")).drop("__i")
-    val joined = base
+    base
       .join(broadcast(userIdx), "user_pick")
       .join(broadcast(itemIdx),
         pmod(col("action"), lit(nItems)).cast("int") ===
           col("item_pick"))
       .withColumn("reward",
         RankKFactorizer.predictRating(col("obs"), col("ivec")))
-    // Nest into the reference trajectory schema: arrays ordered by slot.
-    joined
-      .groupBy("step")
-      .agg(
-        transform(array_sort(collect_list(struct(col("slot"),
-          col("action"), col("reward"), col("obs")))),
-          s => s.getField("action").cast("long")).as("action"),
-        transform(array_sort(collect_list(struct(col("slot"),
-          col("obs")))),
-          s => struct(s.getField("obs").as("observation_batch")))
-          .as("observation"),
-        transform(array_sort(collect_list(struct(col("slot"),
-          col("reward")))), s => s.getField("reward")).as("reward"))
-      .withColumn("step_type",
-        transform(col("action"), _ => lit(1L)))
-      .withColumn("next_step_type",
-        transform(col("action"), _ => lit(1L)))
-      .withColumn("discount",
-        transform(col("reward"), _ => lit(1.0d)))
-      .withColumn("policy_info", array().cast("array<double>"))
-      .select("step", "step_type", "observation", "action",
-        "policy_info", "next_step_type", "reward", "discount")
   }
+
+  /** Per-transition training rows DIRECTLY — the fusion of
+    * [[generateTrajectories]] followed by [[flattenForTraining]].
+    *
+    * `flatten(nest(x)) = x` as a multiset of (step, action, obs,
+    * reward) rows, and every downstream consumer (LinUCB sufficient
+    * stats, scoring aggregates) is row-order-independent, so the fused
+    * form is exactly equivalent — it just skips the groupBy(step) →
+    * collect_list/array_sort → explode round trip, which at 100 TB of
+    * trajectories is a full corpus shuffle plus array assembly bought
+    * for nothing. The nested form stays the interchange/persistence
+    * shape (A10/A16: TFRecord round trip, reference schema parity);
+    * training loops should use this one.
+    */
+  def transitions(spark: SparkSession, factors: RankKFactorizer.Factors,
+                  steps: Int, batchSize: Int, numActions: Int,
+                  seed: Long = 42L): DataFrame =
+    joinedTransitions(spark, factors, steps, batchSize, numActions, seed)
+      .select(col("step"), col("action").cast("long").as("action"),
+        col("obs"), col("reward"))
 
   /** Flatten trajectories to per-transition rows for training (A7
     * un-nest + A17 input shape): (action, obs, reward).

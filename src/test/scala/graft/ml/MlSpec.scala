@@ -91,5 +91,10 @@ class MlSpec extends SparkSpec {
     val flat = Simulation.flattenForTraining(t1)
     assert(flat.count() == 12)
     assert(flat.filter(size($"obs") =!= 2).count() == 0)
+    // the fused transition stream is the same multiset — the identity
+    // q_bandit_loop's training path relies on (flatten ∘ nest = id)
+    val fused = Simulation.transitions(spark, f, steps = 4,
+      batchSize = 3, numActions = 3, seed = 9L)
+    assert(fused.exceptAll(flat).isEmpty && flat.exceptAll(fused).isEmpty)
   }
 }
