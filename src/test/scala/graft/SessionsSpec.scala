@@ -43,6 +43,13 @@ class SessionsSpec extends AnyFunSuite {
     assert(Sessions.shuffleParts(8, dir.toString) == 25)
   }
 
+  test("streamShuffleParts sizes state-store partitions at cores/2" +
+      " with a floor of 4") {
+    assert(Sessions.streamShuffleParts(32) == 16)
+    assert(Sessions.streamShuffleParts(8) == 4)
+    assert(Sessions.streamShuffleParts(2) == 4)
+  }
+
   test("inputBytes counts a file reached via several sibling symlinks" +
       " once (real-path dedup), and symlinked parquet at all") {
     val real = java.nio.file.Files.createTempDirectory("graft-real")
