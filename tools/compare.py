@@ -32,8 +32,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 #                      >45 GB spill at 15M (pl-sf10)
 #   q_graph_degree     green at 15M orders but 715 s (gen-sf10);
 #                      sliced from 45M (pl-sf30, 30 s)
-#   q_graph_triangles  green at 45M orders (887 s, pl-sf30);
-#                      >42 GB spill at 150M (pl-sf100)
+#   q_graph_triangles  one-shot green at 45M orders but 387 s even
+#                      after single-materialization (pl-sf30, r16);
+#                      sliced PASS there in <3 min (staged 31 s) and
+#                      one-shot spills >42 GB at 150M (pl-sf100) —
+#                      routed sliced from 25M on cost, like degree
 #   q_dedup_minhash_md5 green at 150k documents (gen-sf3);
 #                      >300 s at 500k (gen-sf10)
 #   q_embed_pairs_lsh  green at 60k embeddings (gen-sf3);
@@ -42,7 +45,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 SLICED_ROUTE = {
     "q_pagerank": ("orders", 8_000_000),
     "q_graph_degree": ("orders", 25_000_000),
-    "q_graph_triangles": ("orders", 80_000_000),
+    "q_graph_triangles": ("orders", 25_000_000),
     "q_dedup_minhash_md5": ("documents", 300_000),
     "q_embed_pairs_lsh": ("embeddings", 120_000),
 }
