@@ -43,7 +43,7 @@ import graft.streaming.Streams
   * (e.g. 100k and 20k rows/micro-batch) to expose the per-batch
   * planning overhead separately from per-row cost. Usage:
   * `runMain graft.tools.StreamBench [rows] [batches] [--nd-bits N]
-  * [--parts N]`.
+  * [--parts N] [--store rocksdb|hdfs] [--changelog 1]`.
   *
   * `--parts N` overrides the shuffle-partition (= state-store
   * partition) count for the run — the A/B knob for the fixed per-batch
@@ -65,19 +65,21 @@ object StreamBench {
     // A trailing flag with no value or a non-flag after the positionals
     // is a usage error, not an ArrayIndexOutOfBounds / silent drop
     // (ADVICE r15).
-    val flagNames = Set("--nd-bits", "--parts", "--changelog")
+    val flagNames = Set("--nd-bits", "--parts", "--changelog", "--store")
     val flags = scala.collection.mutable.Map[String, String]()
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
     while (i < args.length) {
       if (flagNames(args(i))) {
         require(i + 1 < args.length, s"${args(i)} requires a value " +
-          "(usage: StreamBench [rows] [batches] [--nd-bits N] [--parts N])")
+          "(usage: StreamBench [rows] [batches] [--nd-bits N] [--parts N]" +
+          " [--store rocksdb|hdfs] [--changelog 1])")
         flags(args(i)) = args(i + 1)
         i += 2
       } else {
         require(!args(i).startsWith("--"), s"unknown flag ${args(i)} " +
-          "(usage: StreamBench [rows] [batches] [--nd-bits N] [--parts N])")
+          "(usage: StreamBench [rows] [batches] [--nd-bits N] [--parts N]" +
+          " [--store rocksdb|hdfs] [--changelog 1])")
         positional += args(i)
         i += 1
       }
@@ -105,10 +107,20 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // transformWithState requires the RocksDB store; use it uniformly
-    // so all paths bench the production state backend
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state." +
-        "RocksDBStateStoreProvider")
+    // so all paths bench the production state backend. `--store hdfs`
+    // switches to the default HDFSBackedStateStoreProvider (in-memory
+    // map + delta files) and SKIPS the two tws paths (which hard-
+    // require RocksDB) — the A/B isolating the RocksDB
+    // instance-per-partition share of the fixed per-batch cost F for
+    // the light-state paths.
+    val store = flags.getOrElse("--store", "rocksdb")
+    require(store == "rocksdb" || store == "hdfs",
+      s"--store must be rocksdb|hdfs, got $store")
+    if (store == "rocksdb") {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+    }
     // `--changelog 1`: RocksDB changelog checkpointing — commits write
     // the batch's change set instead of snapshotting the store, the
     // designed mitigation for per-batch commit cost at small batches
@@ -220,33 +232,38 @@ object StreamBench {
         .writeStream.format("memory").queryName("sb_mgs")
         .outputMode("update").trigger(Trigger.AvailableNow()).start())
 
-    val twsIn = MemoryStream[(Long, Long, Long, Long)]
-    (0L until nBatches).foreach { b =>
-      twsIn.addData((0 until perBatch).map { j =>
-        val i = b * perBatch + j
-        // (user, id, ts_s, x) — ts monotone non-decreasing so the
-        // trailing-window replay matches the processor's contract
-        (i % users, i, t0 + i / 600, i % 97)
-      })
+    // the two transformWithState paths hard-require the RocksDB store
+    val twsRps = if (store != "rocksdb") None else Some {
+      val twsIn = MemoryStream[(Long, Long, Long, Long)]
+      (0L until nBatches).foreach { b =>
+        twsIn.addData((0 until perBatch).map { j =>
+          val i = b * perBatch + j
+          // (user, id, ts_s, x) — ts monotone non-decreasing so the
+          // trailing-window replay matches the processor's contract
+          (i % users, i, t0 + i / 600, i % 97)
+        })
+      }
+      timeDrain(total)(() =>
+        Streams.rollingStatsTws(twsIn.toDS(), windowSec = 3600L)
+          .writeStream.format("memory").queryName("sb_tws")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start())
     }
-    val twsRps = timeDrain(total)(() =>
-      Streams.rollingStatsTws(twsIn.toDS(), windowSec = 3600L)
-        .writeStream.format("memory").queryName("sb_tws")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start())
 
     // heavy hitters: 40% of rows from a 37-term hot head, the rest
     // from a 20011-term tail — the skew shape Misra-Gries is for
-    val hhIn = MemoryStream[String]
-    (0L until nBatches).foreach { b =>
-      hhIn.addData((0 until perBatch).map { j =>
-        val i = b * perBatch + j
-        if (i % 5 < 2) s"t${i % 37}" else s"t${i % 20011}"
-      })
+    val hhRps = if (store != "rocksdb") None else Some {
+      val hhIn = MemoryStream[String]
+      (0L until nBatches).foreach { b =>
+        hhIn.addData((0 until perBatch).map { j =>
+          val i = b * perBatch + j
+          if (i % 5 < 2) s"t${i % 37}" else s"t${i % 20011}"
+        })
+      }
+      timeDrain(total)(() =>
+        Streams.heavyHittersTws(hhIn.toDS(), k = 64, partitions = 32)
+          .writeStream.format("memory").queryName("sb_hh")
+          .outputMode("update").trigger(Trigger.AvailableNow()).start())
     }
-    val hhRps = timeDrain(total)(() =>
-      Streams.heavyHittersTws(hhIn.toDS(), k = 64, partitions = 32)
-        .writeStream.format("memory").queryName("sb_hh")
-        .outputMode("update").trigger(Trigger.AvailableNow()).start())
 
     val ndRps = nearDupRate(graft.text.Similarity.bitsFor(nIdx))
 
@@ -277,13 +294,16 @@ object StreamBench {
         s"$pitRoot/out", s"$pitRoot/ckpt", Trigger.AvailableNow()))
     spark.sql("DROP TABLE IF EXISTS sb_pit_feat")
 
+    def k(r: Option[Double]): String =
+      r.map(v => (v / 1000).round.toString).getOrElse("null")
     SweepLog.append("stream",
       s"""{"rows":$total,"batches":$nBatches,"per_batch":$perBatch,""" +
       s""""parts":$shuffleParts,"changelog":$changelog,""" +
+      s""""store":"$store",""" +
       s""""windowed_agg_krows_s":${(winRps / 1000).round},""" +
       s""""map_groups_state_krows_s":${(mgsRps / 1000).round},""" +
-      s""""tws_rolling_krows_s":${(twsRps / 1000).round},""" +
-      s""""tws_heavy_hitters_krows_s":${(hhRps / 1000).round},""" +
+      s""""tws_rolling_krows_s":${k(twsRps)},""" +
+      s""""tws_heavy_hitters_krows_s":${k(hhRps)},""" +
       s""""near_dup_kdocs_s":${(ndRps / 1000).round},""" +
       s""""pit_serving_krows_s":${(pitRps / 1000).round}}""")
     spark.stop()
