@@ -11,11 +11,17 @@
 #   each so one expensive oracle can't hang the sweep.
 # Standing exclusions (same set as the gen-sf1/sf3 sweeps, SURVEY §2.2):
 #   q_graph_triangles            — deliberately unexecuted at sf>=1
-#                                  (Θ(n³) on gendata's uniform density)
+#                                  (Θ(n³) on gendata's uniform density —
+#                                  a SPARK-side wedge-space cost; the
+#                                  sliced oracle can't fix the corpus)
 #   q_embed_pairs, q_dedup_clusters, q_dedup_survivors, q_semantic_dedup
 #                                — DuckDB oracle cost (quadratic SQL),
 #                                  Spark sides fine
 #   q_contamination, q_dedup_ngram — DuckDB n-gram joins > budget
+# NO LONGER needed as sf>=10 extra-excludes (r16): q_pagerank,
+# q_graph_degree, q_dedup_minhash_md5, q_embed_pairs_lsh — compare.py
+# auto-routes them to the staged/sliced oracle past the measured
+# thresholds (SLICED_ROUTE), so they compare fine at any decade.
 set -u
 cd /root/repo
 SF=${1:?usage: sweep_sfN.sh <sf> [extra-exclude ...]}
