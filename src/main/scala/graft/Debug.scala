@@ -65,8 +65,18 @@ object Debug {
       val n = q(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       // listener events are async (private[spark] bus, no waitUntilEmpty
-      // from here) — give it a beat to drain before reading
-      Thread.sleep(300)
+      // from here) — poll until the counters are stable across two
+      // consecutive reads rather than trusting one fixed sleep, which
+      // under-counts on a loaded machine (ADVICE r16). Bounded retries
+      // so a wedged bus can't hang the profile.
+      var drained = false
+      var tries = 0
+      while (!drained && tries < 20) {
+        val before = (jobs.get, stages.get, tasks.get)
+        Thread.sleep(150)
+        drained = before == ((jobs.get, stages.get, tasks.get))
+        tries += 1
+      }
       println(s"run$i rows=$n sec=$sec jobs=${jobs.get - j0} " +
         s"stages=${stages.get - s0} tasks=${tasks.get - k0}")
       if (i == 3) {

@@ -133,6 +133,14 @@ object Sessions {
       // shuffle-partition sizing (ADVICE r15; symlinked corpus layouts
       // are exactly what FOLLOW_LINKS was added for). An unresolvable
       // path counts by its visible identity rather than being dropped.
+      // Trade-off (ADVICE r16): the dedup assumes each real file is
+      // read ONCE. If two sibling symlinks are registered as two
+      // DISTINCT tables (e.g. lineitem and orders both linked to one
+      // parquet), Spark scans the bytes once per table while sizing
+      // counts them once — an under-count by the duplication factor.
+      // Accepted: that layout is degenerate, the heuristic floors at
+      // `cpus` partitions regardless, and the old behavior (counting
+      // per link) over-sized the common one-table-per-link case.
       val seen = scala.collection.mutable.HashSet[Path]()
       // FOLLOW_LINKS: a NOFOLLOW walk sees a symlinked parquet as a
       // symlink (attrs.isRegularFile = false) and silently sizes an

@@ -74,6 +74,14 @@ final case class SigPack(child: Expression) extends UnaryExpression {
       val j = ctx.freshName("j")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val byt = ctx.freshName("byt")
+      // Janino (Spark's codegen compiler) mis-parses a parenthesized
+      // shift on an assignment RHS — `x = (x << 8) | y` dies with
+      // `Expression "x << 8" is not a type`, silently demoting the
+      // whole stage to interpreted eval under the default FALLBACK
+      // factory mode. Keep the shift and the or as separate compound
+      // assignments; SigBytesSpec pins CODEGEN_ONLY so a regression
+      // throws instead of quietly falling back.
       s"""
          |if ($a.numElements() % 8 != 0) {
          |  throw new IllegalArgumentException(
@@ -86,8 +94,10 @@ final case class SigPack(child: Expression) extends UnaryExpression {
          |  long $acc = 0L;
          |  for (int $j = 0; $j < 8; $j++) {
          |    final int $i = $g * 8 + $j;
-         |    $acc = ($acc << 8)
-         |      | ($a.isNullAt($i) ? 0L : ($a.getLong($i) & 0xFFL));
+         |    final long $byt =
+         |      $a.isNullAt($i) ? 0L : ($a.getLong($i) & 0xFFL);
+         |    $acc <<= 8;
+         |    $acc |= $byt;
          |  }
          |  $out[$g] = $acc;
          |}
@@ -160,6 +170,9 @@ final case class SigAgreeBytes(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val xor = ctx.freshName("xor")
       val s = ctx.freshName("s")
+      val sh = ctx.freshName("sh")
+      // Hoist the parenthesized shift into a local — see SigPack's
+      // doGenCode note on the Janino cast-vs-expression mis-parse.
       s"""
          |final int $n = java.lang.Math.min(
          |  $a.numElements(), $b.numElements());
@@ -168,7 +181,8 @@ final case class SigAgreeBytes(left: Expression, right: Expression)
          |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
          |    final long $xor = $a.getLong($i) ^ $b.getLong($i);
          |    for (int $s = 0; $s < 64; $s += 8) {
-         |      if ((($xor >>> $s) & 0xFFL) == 0L) $acc++;
+         |      final long $sh = $xor >>> $s;
+         |      if (($sh & 0xFFL) == 0L) $acc++;
          |    }
          |  }
          |}

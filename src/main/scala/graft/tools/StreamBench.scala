@@ -126,6 +126,13 @@ object StreamBench {
     // designed mitigation for per-batch commit cost at small batches
     // (the other half of the F A/B, alongside --parts).
     val changelog = flags.get("--changelog").exists(_ == "1")
+    // changelog checkpointing is a RocksDB-provider conf: combined with
+    // --store hdfs it would silently no-op while the sweep row still
+    // recorded "changelog":true, corrupting the A/B record the flag
+    // exists to produce (ADVICE r16) — reject the combination.
+    require(!changelog || store == "rocksdb",
+      "--changelog 1 requires --store rocksdb (the conf is RocksDB-only;" +
+        " with hdfs it would no-op while the sweep row recorded true)")
     if (changelog) {
       spark.conf.set("spark.sql.streaming.stateStore.rocksdb." +
         "changelogCheckpointing.enabled", "true")

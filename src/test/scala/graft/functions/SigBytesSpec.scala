@@ -98,6 +98,38 @@ class SigBytesSpec extends SparkSpec {
     assert(viaCodegen == 7 && viaInterp == 7)
   }
 
+  test("codegen path COMPILES — no silent interpreted fallback " +
+      "(r17: Janino mis-parsed `x = (x << 8) | y` as a cast, so the " +
+      "byte-proxy prefilter ran interpreted in the hot path while " +
+      "every spec stayed green under the default FALLBACK mode)") {
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    val prevFactory =
+      spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      // fallback=false: a WholeStageCodegen compile error THROWS;
+      // factoryMode=CODEGEN_ONLY: expression-level codegen errors
+      // throw too instead of demoting to interpreted eval.
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val rnd = new scala.util.Random(41)
+      val rows = Seq.tabulate(64)(i =>
+        (i.toLong, Seq.fill(32)(rnd.nextLong()), Seq.fill(32)(rnd.nextLong())))
+      val out = rows.toDF("id", "a", "b")
+        .select($"id",
+          Native.sigAgreeBytes(
+            Native.sigPack($"a"), Native.sigPack($"b")).as("bytes"))
+        .as[(Long, Int)].collect().toMap
+      rows.foreach { case (id, a, b) =>
+        assert(out(id) == refAgree(refPack(a), refPack(b)))
+      }
+    } finally {
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
   test("SQL registration resolves sig_pack and sig_agree_bytes") {
     Native.register(spark)
     val n = spark.sql(

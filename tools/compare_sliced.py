@@ -360,6 +360,17 @@ def run(sf_dir, out_dir, name, ns=16):
         print(f"PASS {name} ({got[0]} rows, sliced oracle,"
               f" hash comparator)")
         return True
+    # Count-bound the oracle BEFORE fetchdf (ADVICE r16, mirroring
+    # compare.py's r14 guard): a true mismatch with a tiny Spark dump
+    # but a huge oracle must FAIL on rows, not OOM pandas. The staged
+    # oracle's final SQL is a cheap union over staged parquet, so the
+    # extra count pass is scan-priced, not pipeline-priced.
+    oracle_rows = con.execute(
+        f"SELECT count(*) FROM ({oracle_sql})").fetchone()[0]
+    if oracle_rows != dump_rows:
+        print(f"FAIL {name}: rows {dump_rows} vs {oracle_rows} "
+              f"(count bound; oracle not fetched)")
+        return False
     spark = con.execute(f"SELECT * FROM '{dump}'").fetchdf()
     oracle = con.execute(oracle_sql).fetchdf()
     spark = spark[sorted(spark.columns)]
@@ -367,9 +378,6 @@ def run(sf_dir, out_dir, name, ns=16):
     if list(spark.columns) != list(oracle.columns):
         print(f"FAIL {name}: columns {list(spark.columns)} "
               f"vs {list(oracle.columns)}")
-        return False
-    if len(spark) != len(oracle):
-        print(f"FAIL {name}: rows {len(spark)} vs {len(oracle)}")
         return False
     bad = first_mismatch(spark, oracle)
     if bad:
