@@ -48,8 +48,30 @@ object Bench {
       spark.range(200000000L).selectExpr("sum(id % 7)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // IO calibration probe (VERDICT r16 item 6): the CPU probe above
+    // under-tracks this host's IO variance — r16's normalized totals
+    // (393/486) BRACKETED the record on unchanged code because
+    // degraded windows slow parquet reads more than arithmetic. A
+    // fixed full-scan of the sf dir's lineitem (sum over every column
+    // family: ints, doubles, strings, timestamp — nothing prunable)
+    // measures bytes-off-disk + parquet decode at the same scale the
+    // suite reads, so total can be read against BOTH scalars. Same
+    // protocol as calib: warmed, 3 samples before + 3 after the timed
+    // loop, median-of-6.
+    def probeIoOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("sum(l_orderkey + l_partkey + l_suppkey)",
+          "sum(l_quantity + l_extendedprice + l_discount + l_tax)",
+          "sum(length(l_returnflag) + length(l_linestatus))",
+          "sum(unix_micros(cast(l_shipdate as timestamp)))", "count(*)")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     probeOnce() // warm the probe's generated code
+    probeIoOnce()
     val calibPre = Array.fill(3)(probeOnce())
+    val calibIoPre = Array.fill(3)(probeIoOnce())
     // Median-of-3 timed passes: single measurements on a shared VM
     // showed ±20-25% noise (GC, neighbor steal); the median discards
     // both a hiccup pass and a suspiciously-hot one, so consecutive
@@ -87,13 +109,15 @@ object Bench {
     }
     val calibAll = (calibPre ++ Array.fill(3)(probeOnce())).sorted
     val calib = (calibAll(2) + calibAll(3)) / 2.0 // median of 6
+    val calibIoAll = (calibIoPre ++ Array.fill(3)(probeIoOnce())).sorted
+    val calibIo = (calibIoAll(2) + calibIoAll(3)) / 2.0 // median of 6
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failJson = failed.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"failures":$failJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_io":$calibIo,"failures":$failJson,"queries":$qs,"sf":"$sfDir"}"""
     // The driver captures only a ~2000-char TAIL of stdout; the full
     // per-query blob is >4 KB so its leading "total" field falls off
     // the window (BENCH r01-r03 all parsed:null). Persist the full blob
@@ -104,7 +128,7 @@ object Bench {
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"n_queries":${results.size},"failures":$failJson,"sf":"$sfDir","per_query":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_io":$calibIo,"n_queries":${results.size},"failures":$failJson,"sf":"$sfDir","per_query":"bench_out.json"}""")
     System.out.flush()
     if (failed.nonEmpty) sys.exit(1)
   }

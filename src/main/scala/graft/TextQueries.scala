@@ -23,6 +23,94 @@ object TextQueries {
 
   private val stop = Seq("a", "an", "the", "of", "and", "or", "in", "on")
 
+  /** The md5-derived SimHash differential twin, parameterized on
+    * fingerprint width (64 = first 16 nibbles of the digest, 128 = the
+    * whole digest): per-token ±1 votes from md5 nibble bits, majority
+    * per bit, 4 bands of `bits/4` bits (pigeonhole-exact for
+    * hamming <= 3), exact hamming verification on band collisions.
+    * All-integer output — nothing to round cross-engine. The Spark
+    * side keeps the production shape: `bits` codegen'd vote sums,
+    * map-side combined, ONE shuffle on doc_id, then the banded
+    * self-join (merge-hinted — the bucket-key join the production
+    * xxhash64 forms use).
+    */
+  private def simhashMd5Spec(name: String, bits: Int): QuerySpec = {
+    val w = bits / 4 // band width (4 bands)
+    QuerySpec.sql(name)(
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |           FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS hx FROM t),
+         |nb AS (SELECT doc_id, list_transform(range(0, $bits), b ->
+         |         CASE WHEN floor(CAST(
+         |             strpos('0123456789abcdef',
+         |               substr(hx, CAST(b // 4 AS INT) + 1, 1)) - 1
+         |             AS BIGINT) / CAST(2 ** (b % 4) AS BIGINT)) % 2 = 1
+         |           THEN 1 ELSE -1 END) AS votes
+         |       FROM h),
+         |v AS (SELECT doc_id, unnest(range(0, $bits)) AS b, votes FROM nb),
+         |s AS (SELECT doc_id, b,
+         |        sum(CAST(list_extract(votes, CAST(b + 1 AS INT))
+         |          AS BIGINT)) AS vote
+         |      FROM v GROUP BY 1, 2),
+         |fp AS (SELECT doc_id,
+         |         array_agg(CASE WHEN vote > 0 THEN 1 ELSE 0 END
+         |           ORDER BY b) AS fp
+         |       FROM s GROUP BY 1),
+         |band AS (SELECT doc_id, fp, unnest(range(0, 4)) AS bd FROM fp),
+         |bk AS (SELECT doc_id, fp, bd, array_to_string(
+         |         fp[CAST(bd*$w+1 AS INT):CAST(bd*$w+$w AS INT)], '')
+         |         AS key FROM band),
+         |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |           x.fp AS fa, y.fp AS fb
+         |         FROM bk x JOIN bk y
+         |         ON x.bd = y.bd AND x.key = y.key
+         |            AND x.doc_id < y.doc_id
+         |         GROUP BY 1, 2, 3, 4),
+         |ham AS (SELECT doc_a, doc_b,
+         |         CAST(list_sum(list_transform(range(1, ${bits + 1}), i ->
+         |           CASE WHEN fa[CAST(i AS INT)] <> fb[CAST(i AS INT)]
+         |                THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+         |        FROM cand)
+         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val toked = Q.t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), md5(col("tok")).as("hx"))
+      // nibble m of the digest, as 0..15 (conv: hex digit -> decimal)
+      def nib(m: Int) =
+        conv(substring(col("hx"), m + 1, 1), 16, 10).cast(IntegerType)
+      val votes = (0 until bits).map { i =>
+        val bit = nib(i / 4).bitwiseAND(lit(1 << (i % 4)))
+        sum(when(bit =!= 0, 1L).otherwise(-1L)).as(s"v$i")
+      }
+      val tallies = toked.groupBy("doc_id")
+        .agg(votes.head, votes.tail: _*)
+      val fps = tallies.select(col("doc_id"),
+        array((0 until bits).map(i =>
+          when(col(s"v$i") > 0, 1).otherwise(0)): _*).as("fp"))
+        .persist()
+      val banded = fps.select(col("doc_id"), col("fp"),
+        posexplode(transform(sequence(lit(0), lit(3)), b =>
+          concat_ws("", slice(col("fp"), b * w + 1, lit(w)))))
+          .as(Seq("bd", "key")))
+      val cand = banded.as("x").mergeHint
+        .join(banded.as("y").mergeHint,
+          col("x.bd") === col("y.bd") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.fp").as("fa"), col("y.fp").as("fb"))
+        .distinct()
+      cand.withColumn("hamming",
+          aggregate(zip_with(col("fa"), col("fb"),
+            (a, b) => when(a =!= b, 1L).otherwise(0L)),
+            lit(0L), (acc, e) => acc + e))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
   def specs: Seq[QuerySpec] = Seq(
 
     // -- exact dedup (A-series north_star; SURVEY.md q_dedup_exact) -----
@@ -440,85 +528,23 @@ object TextQueries {
     // fingerprint — 16 hex nibbles): per-token votes from md5 nibble
     // bits, majority per bit, 4 bands x 16 bits (pigeonhole-exact for
     // hamming <= 3), exact hamming verification. All-integer output —
-    // nothing to round. Spark side keeps the production shape: 64
+    // nothing to round. Spark side keeps the production shape:
     // codegen'd vote sums, map-side combined, one shuffle on doc_id.
     // 64 bits (not 32): at sf0.1's 5k docs a 32-bit fingerprint let
     // ~83k candidate pairs through hamming <= 3 — the loose filter,
     // not the hashing, dominated runtime. 64 bits matches the
     // production variant's discrimination. --------------------------------
-    QuerySpec.sql("q_dedup_simhash_md5")(
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |           FROM documents),
-        |h AS (SELECT doc_id, md5(tok) AS hx FROM t),
-        |nb AS (SELECT doc_id, list_transform(range(0, 64), b ->
-        |         CASE WHEN floor(CAST(
-        |             strpos('0123456789abcdef',
-        |               substr(hx, CAST(b // 4 AS INT) + 1, 1)) - 1
-        |             AS BIGINT) / CAST(2 ** (b % 4) AS BIGINT)) % 2 = 1
-        |           THEN 1 ELSE -1 END) AS votes
-        |       FROM h),
-        |v AS (SELECT doc_id, unnest(range(0, 64)) AS b, votes FROM nb),
-        |s AS (SELECT doc_id, b,
-        |        sum(CAST(list_extract(votes, CAST(b + 1 AS INT))
-        |          AS BIGINT)) AS vote
-        |      FROM v GROUP BY 1, 2),
-        |fp AS (SELECT doc_id,
-        |         array_agg(CASE WHEN vote > 0 THEN 1 ELSE 0 END
-        |           ORDER BY b) AS fp
-        |       FROM s GROUP BY 1),
-        |band AS (SELECT doc_id, fp, unnest(range(0, 4)) AS bd FROM fp),
-        |bk AS (SELECT doc_id, fp, bd, array_to_string(
-        |         fp[CAST(bd*16+1 AS INT):CAST(bd*16+16 AS INT)], '')
-        |         AS key FROM band),
-        |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |           x.fp AS fa, y.fp AS fb
-        |         FROM bk x JOIN bk y
-        |         ON x.bd = y.bd AND x.key = y.key
-        |            AND x.doc_id < y.doc_id
-        |         GROUP BY 1, 2, 3, 4),
-        |ham AS (SELECT doc_a, doc_b,
-        |         CAST(list_sum(list_transform(range(1, 65), i ->
-        |           CASE WHEN fa[CAST(i AS INT)] <> fb[CAST(i AS INT)]
-        |                THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
-        |        FROM cand)
-        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val toked = Q.t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(TextOps.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), md5(col("tok")).as("hx"))
-      // nibble m of the digest, as 0..15 (conv: hex digit -> decimal)
-      def nib(m: Int) =
-        conv(substring(col("hx"), m + 1, 1), 16, 10).cast(IntegerType)
-      val votes = (0 until 64).map { i =>
-        val bit = nib(i / 4).bitwiseAND(lit(1 << (i % 4)))
-        sum(when(bit =!= 0, 1L).otherwise(-1L)).as(s"v$i")
-      }
-      val tallies = toked.groupBy("doc_id")
-        .agg(votes.head, votes.tail: _*)
-      val fps = tallies.select(col("doc_id"),
-        array((0 until 64).map(i =>
-          when(col(s"v$i") > 0, 1).otherwise(0)): _*).as("fp"))
-        .persist()
-      val banded = fps.select(col("doc_id"), col("fp"),
-        posexplode(transform(sequence(lit(0), lit(3)), b =>
-          concat_ws("", slice(col("fp"), b * 16 + 1, lit(16)))))
-          .as(Seq("bd", "key")))
-      val cand = banded.as("x").mergeHint
-        .join(banded.as("y").mergeHint,
-          col("x.bd") === col("y.bd") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.fp").as("fa"), col("y.fp").as("fb"))
-        .distinct()
-      cand.withColumn("hamming",
-          aggregate(zip_with(col("fa"), col("fb"),
-            (a, b) => when(a =!= b, 1L).otherwise(0L)),
-            lit(0L), (acc, e) => acc + e))
-        .filter(col("hamming") <= 3)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
-        .orderBy("doc_a", "doc_b")
-    },
+    simhashMd5Spec("q_dedup_simhash_md5", bits = 64),
+
+    // -- SimHash WIDE, ORACLE-CHECKED variant (r17: the one dedup
+    // family member with no differential twin since r11). md5 is
+    // exactly 128 bits = 32 hex nibbles, so the full digest IS the
+    // wide fingerprint — same per-token votes, 4 bands x 32 bits
+    // (still pigeonhole-exact for hamming <= 3), random-collision
+    // floor 4·n²/2^32 like the production dual-xxhash64 form whose
+    // banded shape this mirrors (q_dedup_simhash_wide stays
+    // registered: recall pinned brute-force by TextSpec). -----------------
+    simhashMd5Spec("q_dedup_simhash_wide_md5", bits = 128),
 
     // -- MinHash-LSH, ORACLE-CHECKED variant: md5 is bit-identical in
     // both engines and lexicographic min over fixed-width lowercase hex
@@ -691,11 +717,39 @@ object TextQueries {
     // Similarity.bitsFor(n) so occupancy — and with it join cost per
     // row — stays constant as the corpus grows (fixed bits measured
     // 7.2x for 3x rows at sf1->sf3; occupancy-matched bits 3.1x).
-    // Rows-only: the adaptive bucket expression depends on a runtime
-    // count the literal SQL oracle cannot mirror; LshAutoSpec pins
-    // precision (reported cosines are exact) and recall vs the exact
-    // pair set.
-    QuerySpec.rowsOnly("q_embed_pairs_lsh_auto") { (s, dir) =>
+    // ORACLE-CHECKED since r17: bitsFor(n) = clamp(floor(log2(n/256)))
+    // is a deterministic integer function of COUNT(*), and
+    // floor(log2(x)) is integer-exact in SQL as len(bin(x)) - 1 (no
+    // libm) — so the oracle derives the SAME bit width from the same
+    // count and the whole adaptive plan differentially verifies.
+    // LshAutoSpec retains the precision/recall/sizing pins.
+    QuerySpec.sql("q_embed_pairs_lsh_auto")(
+      """WITH bw AS (SELECT least(62, greatest(1,
+        |    len(bin(greatest(1, count(*) // 256))) - 1)) AS bits
+        |  FROM embeddings),
+        |v AS (SELECT vec_id, embedding, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |b AS (SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(
+        |      range(1, (SELECT bits FROM bw) + 1),
+        |      i -> CASE WHEN embedding[CAST(i AS INT)] > 0
+        |           THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT))
+        |           ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM v),
+        |n AS (SELECT vec_id, qv, bucket,
+        |    CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2
+        |  FROM b),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        CAST(CAST(list_sum(list_transform(range(1, 65),
+        |          i -> a.qv[CAST(i AS INT)]*b.qv[CAST(i AS INT)]))
+        |          AS BIGINT) AS DOUBLE) /
+        |          sqrt(CAST(a.n2 AS DOUBLE)*CAST(b.n2 AS DOUBLE))
+        |          AS cosine
+        |      FROM n a JOIN n b ON a.bucket = b.bucket
+        |      WHERE b.vec_id > a.vec_id)
+        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val emb = Q.t(s, dir, "embeddings")
       Similarity.bucketedPairs(emb, "vec_id", "embedding",
           minCosine = 0.3, bits = Similarity.bitsFor(emb.count()),
@@ -787,7 +841,49 @@ object TextQueries {
     // oracle-expressible; RpLshSpec pins recall ≥ the axis-aligned
     // variant on anisotropic data and TextSpec-style determinism holds
     // (fixed seed → identical buckets every run) ------------------------
-    QuerySpec.rowsOnly("q_similarity_rp") { (s, dir) =>
+    // ORACLE-CHECKED since r17: the hyperplanes are md5-derived ±1
+    // Achlioptas signs (Similarity.achlioptasSign, seed 42), so the
+    // whole plane matrix is a DuckDB CTE and the bucketed plan
+    // differentially verifies; previously rows-only (seeded Gaussian).
+    QuerySpec.sql("q_similarity_rp")(
+      """WITH g AS (SELECT i, j,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substr(md5(concat('42|', CAST(i AS VARCHAR), '|',
+        |          CAST(j AS VARCHAR))), 1, 1)) - 1) % 2 = 1
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM (SELECT unnest(range(0, 8)) AS i)
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),
+        |pl AS (SELECT i, list(sgn ORDER BY j) AS p FROM g GROUP BY i),
+        |v AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |pr AS (SELECT vec_id, i,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      jj -> qv[CAST(jj AS INT)] * p[CAST(jj AS INT)]))
+        |      AS BIGINT) AS proj
+        |  FROM v CROSS JOIN pl),
+        |bkt AS (SELECT vec_id,
+        |    sum(CASE WHEN proj > 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |        ELSE 0 END) AS bucket
+        |  FROM pr GROUP BY 1),
+        |n AS (SELECT v.vec_id, v.qv, bkt.bucket,
+        |    CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2
+        |  FROM v JOIN bkt USING (vec_id)),
+        |q AS (SELECT vec_id AS query_id, qv AS qw, n2 AS m2, bucket
+        |      FROM n WHERE vec_id < 20),
+        |s AS (SELECT q.query_id, n.vec_id AS nbr_id,
+        |        CAST(CAST(list_sum(list_transform(range(1, 65),
+        |          i -> n.qv[CAST(i AS INT)]*q.qw[CAST(i AS INT)]))
+        |          AS BIGINT) AS DOUBLE) /
+        |          sqrt(CAST(n.n2 AS DOUBLE)*CAST(q.m2 AS DOUBLE)) AS cosine
+        |      FROM n JOIN q ON n.bucket = q.bucket
+        |      WHERE n.vec_id <> q.query_id)
+        |SELECT query_id, nbr_id, cosine, rnk FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rnk
+        |  FROM s) WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
       val emb = Q.t(s, dir, "embeddings")
       Similarity.rpBucketedTopK(emb, emb.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, bits = 8, dim = 64)

@@ -75,8 +75,14 @@ object Simulation {
       .select(col("id").as("item_id"),
         col("features").cast("array<double>").as("ivec"))
       .persist()
-    val nUsers = users.count().toInt
-    val nItems = items.count()
+    // ONE job for both table sizes (r17: separate users.count() +
+    // items.count() each scheduled a driver job in a query whose cost
+    // is driver-gap-bound — the union folds them into a single
+    // two-stage action that also materializes both persists).
+    val cnts = users.select(count(lit(1)).as("n"))
+      .unionAll(items.select(count(lit(1)).as("n"))).collect()
+    val nUsers = cnts(0).getLong(0).toInt
+    val nItems = cnts(1).getLong(0)
     // One row per transition; trajectory id = step, position = slot.
     val base = spark.range(steps.toLong * batchSize)
       .withColumn("step", (col("id") / batchSize).cast("int"))
@@ -85,14 +91,20 @@ object Simulation {
       .withColumn("action", hmod(col("id"), "a", seed, numActions))
     // Factor lookups: broadcast hash joins, no shuffle of `base`.
     // Actions index items positionally (action a → a-th item by id), so
-    // both factor tables get a dense 0-based pick column — assigned
-    // partition-parallel (zipIndex), not via an unpartitioned window.
-    val userIdx = graft.ops.Relational
-      .zipIndex(users, Seq(col("user_id")), "__i")
-      .withColumn("user_pick", col("__i").cast("int")).drop("__i")
-    val itemIdx = graft.ops.Relational
-      .zipIndex(items, Seq(col("item_id")), "__i")
-      .withColumn("item_pick", col("__i").cast("int")).drop("__i")
+    // both factor tables get a dense 0-based pick column. row_number
+    // over a global order is the SAME id-ordered dense index the
+    // earlier zipIndex assigned (bit-identical picks, MlSpec) without
+    // its range-shuffle + RDD zipWithIndex round trip — two fewer
+    // driver-scheduled materializations per invocation (r17). The
+    // unpartitioned window is safe HERE because both tables are
+    // broadcast two lines later: anything that fits a broadcast fits
+    // one window partition. Corpus-scale indexing keeps using
+    // Relational.zipIndex.
+    val w = org.apache.spark.sql.expressions.Window
+    val userIdx = users.withColumn("user_pick",
+      (row_number().over(w.orderBy(col("user_id"))) - 1).cast("int"))
+    val itemIdx = items.withColumn("item_pick",
+      (row_number().over(w.orderBy(col("item_id"))) - 1).cast("int"))
     base
       .join(broadcast(userIdx), "user_pick")
       .join(broadcast(itemIdx),

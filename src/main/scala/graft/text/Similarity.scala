@@ -86,31 +86,49 @@ object Similarity {
       when(element_at(v, i + 1) > 0f, lit(1L << i)).otherwise(0L))
       .reduce(_ + _)
 
+  /** ±1 entry (i, j) of the seeded Achlioptas sign-projection matrix:
+    * the low bit of the FIRST hex nibble of md5("seed|i|j") picks the
+    * sign. md5 is bit-identical in every engine, so the same matrix is
+    * derivable in ANSI SQL (`(strpos('0123456789abcdef',
+    * substr(md5(seed||'|'||i||'|'||j), 1, 1)) - 1) % 2`) — the property
+    * that makes the RP family differentially checkable (r17; a seeded
+    * Gaussian draw was not SQL-expressible, so q_similarity_rp sat
+    * rows-only since r4).
+    */
+  def achlioptasSign(seed: Long, i: Int, j: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed|$i|$j".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 1) == 1) 1L else -1L
+  }
+
   /** Random-hyperplane sign-LSH bucket id — the production variant of
     * [[signBucket]] (Charikar'02 random projections): bit i is set iff
-    * ⟨v, h_i⟩ > 0 for a dense Gaussian hyperplane h_i drawn once from
-    * `seed`. Axis-aligned buckets collapse when the leading dimensions
+    * ⟨v, h_i⟩ > 0 for a dense hyperplane h_i drawn once from `seed`.
+    * Axis-aligned buckets collapse when the leading dimensions
     * carry little signal (anisotropic embeddings — the usual case after
     * any non-axis-aligned encoder); dense projections weight every
     * dimension, so bucket boundaries follow the data's dominant
     * directions regardless of axis order. RpLshSpec demonstrates the
     * recall gap on exactly such data.
     *
-    * The hyperplanes are quantized with the shared 1e6 quantizer and
-    * each projection is an exact integer dot product (the codegen'd
-    * QDotLong over a literal plane array) — deterministic across runs,
+    * The hyperplanes are dense ±1 sign matrices (Achlioptas'01: ±1
+    * entries carry the same Johnson–Lindenstrauss / sign-LSH guarantees
+    * as Gaussians) derived from md5 via [[achlioptasSign]] — so the
+    * matrix, and with it the whole bucketed plan, is expressible in
+    * ANSI SQL and differentially checked (r17; the previous Gaussian
+    * draw kept this family rows-only). Each projection is an exact
+    * integer dot product over the 1e6-quantized vector (the codegen'd
+    * QDotLong over a literal ±1 array) — deterministic across runs,
     * partitionings and JVMs; plan shape identical to signBucket (a
     * per-row expression: no shuffle, no UDF, no broadcast needed — the
     * bits×dim plane matrix is compiled into the expression tree).
-    * Magnitudes: |qv| ≤ 8e6, |hq| ≤ ~5e6, so a 4096-dim dot stays
-    * < 2^57 — no overflow.
+    * Magnitudes: |qv| ≤ 8e6 per coordinate, entries ±1, so even a
+    * 4096-dim dot stays < 2^45 — no overflow.
     */
   def rpBucket(v: Column, bits: Int, dim: Int, seed: Long): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
     val qv = quantVec(v)
     (0 until bits).map { i =>
-      val hq = planes(i).map(x => math.floor(x * 1e6).toLong).toSeq
+      val hq = (0 until dim).map(j => achlioptasSign(seed, i, j))
       when(qdot(qv, typedLit(hq)) > 0L, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
   }
@@ -146,9 +164,11 @@ object Similarity {
   /** Bucketed ANN top-k under random-hyperplane buckets — identical
     * plan to [[bucketedTopK]] (one equi-join on the bucket key, exact
     * integer rescoring inside the bucket) with [[rpBucket]] as the
-    * coarse quantizer. Rows-only at the oracle (a seeded Gaussian
-    * matrix is not SQL-expressible); RpLshSpec pins its recall above
-    * the axis-aligned variant on anisotropic data.
+    * coarse quantizer. Oracle-checked since r17: the md5-derived ±1
+    * plane matrix is derivable in ANSI SQL, so the registered
+    * q_similarity_rp carries a full DuckDB oracle; RpLshSpec
+    * additionally pins its recall above the axis-aligned variant on
+    * anisotropic data.
     */
   def rpBucketedTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int, bits: Int,

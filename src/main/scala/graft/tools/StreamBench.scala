@@ -43,7 +43,7 @@ import graft.streaming.Streams
   * (e.g. 100k and 20k rows/micro-batch) to expose the per-batch
   * planning overhead separately from per-row cost. Usage:
   * `runMain graft.tools.StreamBench [rows] [batches] [--nd-bits N]
-  * [--parts N] [--store rocksdb|hdfs] [--changelog 1]`.
+  * [--parts N] [--store rocksdb|hdfs] [--changelog 1] [--floor 1]`.
   *
   * `--parts N` overrides the shuffle-partition (= state-store
   * partition) count for the run — the A/B knob for the fixed per-batch
@@ -65,7 +65,8 @@ object StreamBench {
     // A trailing flag with no value or a non-flag after the positionals
     // is a usage error, not an ArrayIndexOutOfBounds / silent drop
     // (ADVICE r15).
-    val flagNames = Set("--nd-bits", "--parts", "--changelog", "--store")
+    val flagNames =
+      Set("--nd-bits", "--parts", "--changelog", "--store", "--floor")
     val flags = scala.collection.mutable.Map[String, String]()
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
@@ -73,13 +74,13 @@ object StreamBench {
       if (flagNames(args(i))) {
         require(i + 1 < args.length, s"${args(i)} requires a value " +
           "(usage: StreamBench [rows] [batches] [--nd-bits N] [--parts N]" +
-          " [--store rocksdb|hdfs] [--changelog 1])")
+          " [--store rocksdb|hdfs] [--changelog 1] [--floor 1])")
         flags(args(i)) = args(i + 1)
         i += 2
       } else {
         require(!args(i).startsWith("--"), s"unknown flag ${args(i)} " +
           "(usage: StreamBench [rows] [batches] [--nd-bits N] [--parts N]" +
-          " [--store rocksdb|hdfs] [--changelog 1])")
+          " [--store rocksdb|hdfs] [--changelog 1] [--floor 1])")
         positional += args(i)
         i += 1
       }
@@ -210,6 +211,49 @@ object StreamBench {
         s""""parts":$shuffleParts,"changelog":$changelog,""" +
         s""""nd_bits":$b,"expected_occupancy":$occ,""" +
         s""""near_dup_kdocs_s":${(rps / 1000).round}}""")
+      spark.stop()
+      return
+    }
+
+    // `--floor 1`: F-floor decomposition (VERDICT r16 item 8). The r16
+    // partition A/B proved ~1/4 of windowedAgg's fixed per-batch cost F
+    // is state-store open/commit (scales with partitions); this mode
+    // measures the RESIDUAL directly with two stateless streams at the
+    // same two-rate protocol:
+    //  - passthrough: narrow projection, no shuffle, no state → pure
+    //    per-batch planning + offset/commit-log + task dispatch
+    //  - shuffle_noop: one repartition(parts) exchange, still no state
+    //    store → adds the per-batch shuffle machinery
+    // windowedAgg's F minus shuffle_noop's F is then the true
+    // state+window-specific share. Run at two batch sizes like the
+    // stateful table (t_batch = F + n·c).
+    if (flags.get("--floor").exists(_ == "1")) {
+      def feed(): MemoryStream[(Long, Double)] = {
+        val in = MemoryStream[(Long, Double)]
+        (0L until nBatches).foreach { b =>
+          in.addData((0 until perBatch).map { j =>
+            val i = b * perBatch + j
+            (i % users, (i % 97).toDouble)
+          })
+        }
+        in
+      }
+      val ptRps = timeDrain(total)(() =>
+        feed().toDF().toDF("user_id", "value")
+          .select(col("user_id"), (col("value") * 2).as("v2"))
+          .writeStream.format("memory").queryName("sb_floor_pt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start())
+      val shRps = timeDrain(total)(() =>
+        feed().toDF().toDF("user_id", "value")
+          .repartition(shuffleParts, col("user_id"))
+          .select(col("user_id"), (col("value") * 2).as("v2"))
+          .writeStream.format("memory").queryName("sb_floor_sh")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start())
+      SweepLog.append("stream",
+        s"""{"mode":"floor","rows":$total,"batches":$nBatches,""" +
+        s""""per_batch":$perBatch,"parts":$shuffleParts,""" +
+        s""""passthrough_krows_s":${(ptRps / 1000).round},""" +
+        s""""shuffle_noop_krows_s":${(shRps / 1000).round}}""")
       spark.stop()
       return
     }

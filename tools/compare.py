@@ -41,6 +41,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 #                      >300 s at 500k (gen-sf10)
 #   q_embed_pairs_lsh  green at 60k embeddings (gen-sf3);
 #                      >300 s at 200k (gen-sf10)
+#   q_dedup_simhash_md5 / _wide_md5: green at 5k documents (sf0.1)
+#                      but the one-shot unnests 64 (resp. 128) vote
+#                      rows per TOKEN — >300 s at 150k docs (gen-sf3,
+#                      the r16 sweep's sole non-compare); sliced form
+#                      computes votes as SUM columns, no expansion
 # COMPARE_ROUTE=oneshot|sliced overrides (negative controls, A/Bs).
 SLICED_ROUTE = {
     "q_pagerank": ("orders", 8_000_000),
@@ -48,6 +53,8 @@ SLICED_ROUTE = {
     "q_graph_triangles": ("orders", 25_000_000),
     "q_dedup_minhash_md5": ("documents", 300_000),
     "q_embed_pairs_lsh": ("embeddings", 120_000),
+    "q_dedup_simhash_md5": ("documents", 20_000),
+    "q_dedup_simhash_wide_md5": ("documents", 20_000),
 }
 
 

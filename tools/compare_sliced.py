@@ -15,7 +15,9 @@ slice — is compared cell-exact against the Spark dump with the same
 comparator as tools/compare.py.
 
 Usage: compare_sliced.py <sfDir> <verifyOutDir> <query> [nslices=16]
-Queries: q_pagerank q_graph_degree q_dedup_minhash_md5 q_embed_pairs_lsh
+Queries: q_pagerank q_graph_degree q_graph_triangles
+         q_dedup_minhash_md5 q_embed_pairs_lsh
+         q_dedup_simhash_md5 q_dedup_simhash_wide_md5
 """
 import hashlib
 import os
@@ -280,12 +282,74 @@ def oracle_embed_pairs_lsh(con, work, ns):
     return "SELECT id_a, id_b, cosine FROM pairs ORDER BY id_a, id_b"
 
 
+def _oracle_simhash_md5(bits):
+    """Staged md5-SimHash oracle, parameterized on fingerprint width
+    (64 = q_dedup_simhash_md5, 128 = q_dedup_simhash_wide_md5).
+
+    Why the one-shot form times out (>300 s at gen-sf3's 150k docs):
+    it unnests `bits` vote rows per TOKEN (150k docs x ~100 tokens x 64
+    = ~1B rows into one aggregate). The staged form computes the same
+    votes as `bits` SUM columns over the token stream — one pass, no
+    row expansion — sliced by hash(doc_id) (per-doc independent, so
+    slices are disjoint and union to the global fingerprint table).
+    The band-bucket pair join then slices by hash(x.doc_id) exactly
+    like oracle_minhash_md5 (each pair has one doc_a)."""
+    nibbles = bits // 4
+    w = bits // 4  # band width: 4 bands of bits/4
+
+    def oracle(con, work, ns):
+        nibs = ", ".join(
+            f"strpos('0123456789abcdef', substr(hx, {m + 1}, 1)) - 1"
+            f" AS nib{m}" for m in range(nibbles))
+        votes = ", ".join(
+            f"sum(CASE WHEN (nib{b // 4} // {2 ** (b % 4)}) % 2 = 1"
+            f" THEN 1 ELSE -1 END) AS v{b}" for b in range(bits))
+        fplist = "[" + ", ".join(
+            f"CASE WHEN v{b} > 0 THEN 1 ELSE 0 END"
+            for b in range(bits)) + "]"
+        staged(con, work, "fp", lambda k:
+               "WITH t AS (SELECT doc_id, "
+               "  unnest(string_split(text, ' ')) AS tok "
+               f"  FROM documents WHERE hash(doc_id) % {ns} = {k}), "
+               "h AS (SELECT doc_id, md5(tok) AS hx FROM t), "
+               f"nbv AS (SELECT doc_id, {nibs} FROM h), "
+               f"g AS (SELECT doc_id, {votes} FROM nbv GROUP BY doc_id) "
+               f"SELECT doc_id, {fplist} AS fp FROM g", slices=ns)
+        con.execute(
+            "CREATE OR REPLACE VIEW bk AS "
+            "SELECT doc_id, fp, bd, array_to_string("
+            f"  fp[CAST(bd*{w}+1 AS INT):CAST(bd*{w}+{w} AS INT)], '') "
+            "  AS key "
+            "FROM (SELECT doc_id, fp, unnest(range(0, 4)) AS bd "
+            "      FROM fp)")
+        staged(con, work, "pairs", lambda k:
+               "WITH cand AS (SELECT x.doc_id AS doc_a, "
+               "  y.doc_id AS doc_b, x.fp AS fa, y.fp AS fb "
+               "  FROM bk x JOIN bk y "
+               "  ON x.bd = y.bd AND x.key = y.key "
+               "     AND x.doc_id < y.doc_id "
+               f"  WHERE hash(x.doc_id) % {ns} = {k} "
+               "  GROUP BY 1, 2, 3, 4), "
+               "ham AS (SELECT doc_a, doc_b, "
+               f"  CAST(list_sum(list_transform(range(1, {bits + 1}), "
+               "    i -> CASE WHEN fa[CAST(i AS INT)] <> "
+               "      fb[CAST(i AS INT)] THEN 1 ELSE 0 END)) AS BIGINT) "
+               "    AS hamming FROM cand) "
+               "SELECT doc_a, doc_b, hamming FROM ham "
+               "WHERE hamming <= 3", slices=ns)
+        return "SELECT doc_a, doc_b, hamming FROM pairs ORDER BY doc_a, doc_b"
+
+    return oracle
+
+
 ORACLES = {
     "q_pagerank": oracle_pagerank,
     "q_graph_degree": oracle_graph_degree,
     "q_graph_triangles": oracle_graph_triangles,
     "q_dedup_minhash_md5": oracle_minhash_md5,
     "q_embed_pairs_lsh": oracle_embed_pairs_lsh,
+    "q_dedup_simhash_md5": _oracle_simhash_md5(64),
+    "q_dedup_simhash_wide_md5": _oracle_simhash_md5(128),
 }
 
 
