@@ -238,6 +238,19 @@ object StreamBench {
         }
         in
       }
+      // warm drain (one small stream, untimed): the FIRST streaming
+      // query in a JVM pays one-time engine/JIT init that the stateful
+      // table amortizes across six paths — without this the
+      // passthrough read 92 krows/s while the shuffle variant after it
+      // read 246, inverting the decomposition this mode exists for
+      val warmIn = MemoryStream[(Long, Double)]
+      warmIn.addData((0 until 1000).map(i => (i.toLong, 1.0)))
+      warmIn.toDF().toDF("user_id", "value")
+        .repartition(shuffleParts, col("user_id"))
+        .select(col("user_id"), (col("value") * 2).as("v2"))
+        .writeStream.format("memory").queryName("sb_floor_warm")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
       val ptRps = timeDrain(total)(() =>
         feed().toDF().toDF("user_id", "value")
           .select(col("user_id"), (col("value") * 2).as("v2"))

@@ -357,13 +357,19 @@ class SlicedOracleError(Exception):
     """A staged oracle found its input degenerate (no result to build)."""
 
 
-def run(sf_dir, out_dir, name, ns=16):
+def run(sf_dir, out_dir, name, ns=16, stage_only=False):
     """Stage the sliced oracle for `name` and compare the Spark dump.
 
     Prints the same PASS/FAIL lines as the CLI and returns True/False —
     the callable form tools/compare.py auto-routes into (VERDICT r15
     item 4: the sliced-vs-one-shot choice used to live in
     tools/sweep_pl.sh's case statement).
+
+    `stage_only=True` (CLI: out_dir `--stage-only`) builds the staged
+    parquet + .done markers and skips the dump compare — pre-warming
+    for sweep runs whose per-query budget (300 s in sweep_sfN.sh) is
+    tighter than a decade's first-time staging cost; the later real
+    compare reuses the staging via the input stamp.
     """
     if name not in ORACLES:
         print(f"FAIL {name}: no sliced oracle "
@@ -407,6 +413,9 @@ def run(sf_dir, out_dir, name, ns=16):
         print(f"FAIL {name}: {e}")
         return False
     log(f"oracle staged in {time.time() - t0:.1f}s")
+    if stage_only:
+        print(f"STAGED {name} (stage-only; no dump compare)")
+        return True
     dump = f"{out_dir}/{name}/*.parquet"
     dump_rows = con.execute(f"SELECT count(*) FROM '{dump}'").fetchone()[0]
     # Same auto-switch as tools/compare.py (VERDICT r13 item 5): past
@@ -459,7 +468,9 @@ def main():
         print(f"FAIL {name}: no sliced oracle "
               f"(have: {' '.join(sorted(ORACLES))})")
         sys.exit(2)
-    sys.exit(0 if run(sf_dir, out_dir, name, ns) else 1)
+    stage_only = out_dir == "--stage-only"
+    sys.exit(0 if run(sf_dir, out_dir, name, ns,
+                      stage_only=stage_only) else 1)
 
 
 if __name__ == "__main__":
