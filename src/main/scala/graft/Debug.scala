@@ -23,6 +23,13 @@ object Debug {
         .config("spark.ui.enabled", "false"), Sessions.shuffleParts(cpus.toInt))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_AQE=0 disables AQE for this profile run only — the
+    // A/B separating real scheduling cost from AQE's per-query-stage
+    // materialization jobs (each exchange shows as its own
+    // CompletableFuture job under AQE; with it off the same plan runs
+    // as classic multi-stage jobs). Production sessions keep AQE on.
+    sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.enabled", v == "1"))
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val jobs = new AtomicInteger
     val stages = new AtomicInteger

@@ -30,11 +30,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # sweep budget (sweeps/sweep_spot_sf30.jsonl; compare_sliced.py header):
 #   q_pagerank         one-shot green at 4.5M orders (pl-sf3),
 #                      >45 GB spill at 15M (pl-sf10)
-#   q_graph_degree     green at 15M orders but 715 s (gen-sf10, pre-
-#                      repricing); sliced at 45M in 30 s (pl-sf30) —
-#                      routed sliced from 10M on cost (r17: the sweep
-#                      budget is 300 s/query, so the 15M decade must
-#                      take the sliced path, like triangles)
+#   q_graph_degree     one-shot "green" at 4.5M orders only with
+#                      >35 GB of spill headroom (r17: the gen-sf3
+#                      sweep hit ENOSPC at 35 GB free where r16's
+#                      emptier disk passed), 715 s at 15M pre-
+#                      repricing; sliced PASSes the same 4.5M dump in
+#                      <2 min with bounded staging — routed sliced
+#                      from 3M on robustness+cost, like triangles
 #   q_graph_triangles  one-shot green at 45M orders but 387 s even
 #                      after single-materialization (pl-sf30, r16);
 #                      sliced PASS there in <3 min (staged 31 s) and
@@ -52,7 +54,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # COMPARE_ROUTE=oneshot|sliced overrides (negative controls, A/Bs).
 SLICED_ROUTE = {
     "q_pagerank": ("orders", 8_000_000),
-    "q_graph_degree": ("orders", 10_000_000),
+    "q_graph_degree": ("orders", 3_000_000),
     "q_graph_triangles": ("orders", 25_000_000),
     "q_dedup_minhash_md5": ("documents", 300_000),
     "q_embed_pairs_lsh": ("embeddings", 120_000),
