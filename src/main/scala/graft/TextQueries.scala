@@ -33,9 +33,40 @@ object TextQueries {
     * map-side combined, ONE shuffle on doc_id, then the banded
     * self-join (merge-hinted — the bucket-key join the production
     * xxhash64 forms use).
+    *
+    * The fingerprint is BIT-PACKED into 32-bit words and hamming is
+    * `bit_count(xor(...))` per word (r17): the original ARRAY<INT>
+    * fingerprint's hamming — `aggregate(zip_with(...))` — is a
+    * non-codegen higher-order expression that Catalyst pushes into the
+    * band self-join's SMJ predicate, so it ran INTERPRETED once per
+    * candidate pair; at gen-sf10's planted duplicate clusters (one
+    * fingerprint shared by thousands of docs → quadratic pairs inside
+    * one band bucket = one join key, unsplittable by AQE) two such
+    * tasks ground for ~28 min each (jstack: ArrayAggregate.eval inside
+    * SortMergeJoinEvaluator). Packed, the same pushed-down predicate
+    * is 2 (resp. 4) codegen'd xor+popcounts — ~100× cheaper per pair,
+    * identical output (bit b of the fingerprint is unchanged; bands
+    * still partition the bits, so the hamming<=3 pigeonhole is
+    * unchanged). Words are 32-bit so no sign games in either engine.
     */
   private def simhashMd5Spec(name: String, bits: Int): QuerySpec = {
-    val w = bits / 4 // band width (4 bands)
+    val words = bits / 32 // 2 (64-bit twin) or 4 (wide twin)
+    // SQL: packed word w from the fp bit array (bit w*32+j -> 1L<<j)
+    def sqlWord(w: Int): String =
+      s"CAST(list_sum(list_transform(range(1, 33), j -> " +
+        s"CASE WHEN fp[CAST(${w * 32} + j AS INT)] = 1 " +
+        s"THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) " +
+        s"ELSE 0 END)) AS BIGINT)"
+    // SQL: band key for band bd (4 bands of bits/4 bits). 64-bit: two
+    // 16-bit halves per word; 128-bit: one word per band.
+    val sqlBandKey =
+      if (bits == 64)
+        "(ws[CAST(bd // 2 + 1 AS INT)] >> CAST((bd % 2) * 16 AS INT))" +
+          " & 65535"
+      else "ws[CAST(bd + 1 AS INT)]"
+    val sqlHam = (0 until words)
+      .map(w => s"bit_count(xor(wa[${w + 1}], wb[${w + 1}]))")
+      .mkString(" + ")
     QuerySpec.sql(name)(
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |           FROM documents),
@@ -56,20 +87,19 @@ object TextQueries {
          |         array_agg(CASE WHEN vote > 0 THEN 1 ELSE 0 END
          |           ORDER BY b) AS fp
          |       FROM s GROUP BY 1),
-         |band AS (SELECT doc_id, fp, unnest(range(0, 4)) AS bd FROM fp),
-         |bk AS (SELECT doc_id, fp, bd, array_to_string(
-         |         fp[CAST(bd*$w+1 AS INT):CAST(bd*$w+$w AS INT)], '')
-         |         AS key FROM band),
+         |pk AS (SELECT doc_id,
+         |         [${(0 until words).map(sqlWord).mkString(", ")}] AS ws
+         |       FROM fp),
+         |band AS (SELECT doc_id, ws, unnest(range(0, 4)) AS bd FROM pk),
+         |bk AS (SELECT doc_id, ws, bd, $sqlBandKey AS key FROM band),
          |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |           x.fp AS fa, y.fp AS fb
+         |           x.ws AS wa, y.ws AS wb
          |         FROM bk x JOIN bk y
          |         ON x.bd = y.bd AND x.key = y.key
          |            AND x.doc_id < y.doc_id
          |         GROUP BY 1, 2, 3, 4),
          |ham AS (SELECT doc_a, doc_b,
-         |         CAST(list_sum(list_transform(range(1, ${bits + 1}), i ->
-         |           CASE WHEN fa[CAST(i AS INT)] <> fb[CAST(i AS INT)]
-         |                THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+         |          CAST($sqlHam AS BIGINT) AS hamming
          |        FROM cand)
          |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
@@ -86,25 +116,34 @@ object TextQueries {
       }
       val tallies = toked.groupBy("doc_id")
         .agg(votes.head, votes.tail: _*)
-      val fps = tallies.select(col("doc_id"),
-        array((0 until bits).map(i =>
-          when(col(s"v$i") > 0, 1).otherwise(0)): _*).as("fp"))
-        .persist()
-      val banded = fps.select(col("doc_id"), col("fp"),
-        posexplode(transform(sequence(lit(0), lit(3)), b =>
-          concat_ws("", slice(col("fp"), b * w + 1, lit(w)))))
-          .as(Seq("bd", "key")))
+      val packed = (0 until words).map { w =>
+        (0 until 32).map { j =>
+          when(col(s"v${w * 32 + j}") > 0, lit(1L << j)).otherwise(0L)
+        }.reduce(_ bitwiseOR _).as(s"w$w")
+      }
+      val fps = tallies.select(col("doc_id") +: packed: _*).persist()
+      def bandKey(b: Int): org.apache.spark.sql.Column =
+        if (bits == 64)
+          shiftright(col(s"w${b / 2}"), (b % 2) * 16)
+            .bitwiseAND(lit(65535L))
+        else col(s"w$b")
+      val banded = fps.select(
+        (col("doc_id") +: (0 until words).map(w => col(s"w$w"))) :+
+          posexplode(array((0 until 4).map(bandKey): _*))
+            .as(Seq("bd", "key")): _*)
       val cand = banded.as("x").mergeHint
         .join(banded.as("y").mergeHint,
           col("x.bd") === col("y.bd") && col("x.key") === col("y.key") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.fp").as("fa"), col("y.fp").as("fb"))
+        .select(
+          col("x.doc_id").as("doc_a") +: col("y.doc_id").as("doc_b") +:
+            ((0 until words).map(w => col(s"x.w$w").as(s"a$w")) ++
+              (0 until words).map(w => col(s"y.w$w").as(s"b$w"))): _*)
         .distinct()
       cand.withColumn("hamming",
-          aggregate(zip_with(col("fa"), col("fb"),
-            (a, b) => when(a =!= b, 1L).otherwise(0L)),
-            lit(0L), (acc, e) => acc + e))
+          (0 until words).map(w =>
+            bit_count(col(s"a$w").bitwiseXOR(col(s"b$w"))))
+            .reduce(_ + _).cast(LongType))
         .filter(col("hamming") <= 3)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy("doc_a", "doc_b")

@@ -293,9 +293,17 @@ def _oracle_simhash_md5(bits):
     row expansion — sliced by hash(doc_id) (per-doc independent, so
     slices are disjoint and union to the global fingerprint table).
     The band-bucket pair join then slices by hash(x.doc_id) exactly
-    like oracle_minhash_md5 (each pair has one doc_a)."""
+    like oracle_minhash_md5 (each pair has one doc_a).
+
+    Fingerprints are BIT-PACKED into 32-bit words (w0..w{bits/32-1})
+    and hamming is bit_count(xor(...)) per word, mirroring the r17
+    Spark-side packing: the list<int> form priced the in-bucket pair
+    verification at a 64-element list compare per candidate — at
+    gen-sf10's planted dup clusters (thousands of docs sharing one
+    fingerprint → quadratic candidates in one bucket) the pairs stage
+    ran ~300 s PER SLICE; packed it is two integer xor+popcounts."""
     nibbles = bits // 4
-    w = bits // 4  # band width: 4 bands of bits/4
+    words = bits // 32  # 2 (64-bit) or 4 (wide)
 
     def oracle(con, work, ns):
         nibs = ", ".join(
@@ -304,40 +312,55 @@ def _oracle_simhash_md5(bits):
         votes = ", ".join(
             f"sum(CASE WHEN (nib{b // 4} // {2 ** (b % 4)}) % 2 = 1"
             f" THEN 1 ELSE -1 END) AS v{b}" for b in range(bits))
-        fplist = "[" + ", ".join(
-            f"CASE WHEN v{b} > 0 THEN 1 ELSE 0 END"
-            for b in range(bits)) + "]"
-        staged(con, work, "fp", lambda k:
+        # packed word w: bit w*32+j (j in 0..31) -> 1::BIGINT << j
+        pack = ", ".join(
+            "(" + " + ".join(
+                f"CASE WHEN v{w * 32 + j} > 0 THEN "
+                f"CAST({1 << j} AS BIGINT) ELSE 0 END"
+                for j in range(32)) + f") AS w{w}"
+            for w in range(words))
+        wcols = ", ".join(f"w{w}" for w in range(words))
+        # band key for 4 bands of bits/4: 64-bit -> two 16-bit halves
+        # per word; 128-bit -> one word per band
+        if bits == 64:
+            band_sel = ("SELECT doc_id, bd, " + wcols + ", "
+                        "CASE bd // 2 WHEN 0 THEN w0 ELSE w1 END AS wv "
+                        "FROM (SELECT doc_id, " + wcols +
+                        ", unnest(range(0, 4)) AS bd FROM fpw) ")
+            key_expr = ("CASE WHEN bd % 2 = 0 THEN wv & 65535 "
+                        "ELSE (wv >> 16) & 65535 END")
+        else:
+            band_sel = ("SELECT doc_id, bd, " + wcols + ", "
+                        "CASE bd WHEN 0 THEN w0 WHEN 1 THEN w1 "
+                        "WHEN 2 THEN w2 ELSE w3 END AS wv "
+                        "FROM (SELECT doc_id, " + wcols +
+                        ", unnest(range(0, 4)) AS bd FROM fpw) ")
+            key_expr = "wv"
+        ham = " + ".join(
+            f"bit_count(xor(x.w{w}, y.w{w}))" for w in range(words))
+        staged(con, work, "fpw", lambda k:
                "WITH t AS (SELECT doc_id, "
                "  unnest(string_split(text, ' ')) AS tok "
                f"  FROM documents WHERE hash(doc_id) % {ns} = {k}), "
                "h AS (SELECT doc_id, md5(tok) AS hx FROM t), "
                f"nbv AS (SELECT doc_id, {nibs} FROM h), "
                f"g AS (SELECT doc_id, {votes} FROM nbv GROUP BY doc_id) "
-               f"SELECT doc_id, {fplist} AS fp FROM g", slices=ns)
+               f"SELECT doc_id, {pack} FROM g", slices=ns)
         con.execute(
             "CREATE OR REPLACE VIEW bk AS "
-            "SELECT doc_id, fp, bd, array_to_string("
-            f"  fp[CAST(bd*{w}+1 AS INT):CAST(bd*{w}+{w} AS INT)], '') "
-            "  AS key "
-            "FROM (SELECT doc_id, fp, unnest(range(0, 4)) AS bd "
-            "      FROM fp)")
-        staged(con, work, "pairs", lambda k:
-               "WITH cand AS (SELECT x.doc_id AS doc_a, "
-               "  y.doc_id AS doc_b, x.fp AS fa, y.fp AS fb "
+            f"SELECT doc_id, {wcols}, bd, {key_expr} AS key "
+            f"FROM ({band_sel})")
+        staged(con, work, "pairsw", lambda k:
+               "WITH ham AS (SELECT x.doc_id AS doc_a, "
+               "  y.doc_id AS doc_b, "
+               f"  CAST({ham} AS BIGINT) AS hamming "
                "  FROM bk x JOIN bk y "
                "  ON x.bd = y.bd AND x.key = y.key "
                "     AND x.doc_id < y.doc_id "
-               f"  WHERE hash(x.doc_id) % {ns} = {k} "
-               "  GROUP BY 1, 2, 3, 4), "
-               "ham AS (SELECT doc_a, doc_b, "
-               f"  CAST(list_sum(list_transform(range(1, {bits + 1}), "
-               "    i -> CASE WHEN fa[CAST(i AS INT)] <> "
-               "      fb[CAST(i AS INT)] THEN 1 ELSE 0 END)) AS BIGINT) "
-               "    AS hamming FROM cand) "
-               "SELECT doc_a, doc_b, hamming FROM ham "
+               f"  WHERE hash(x.doc_id) % {ns} = {k}) "
+               "SELECT DISTINCT doc_a, doc_b, hamming FROM ham "
                "WHERE hamming <= 3", slices=ns)
-        return "SELECT doc_a, doc_b, hamming FROM pairs ORDER BY doc_a, doc_b"
+        return "SELECT doc_a, doc_b, hamming FROM pairsw ORDER BY doc_a, doc_b"
 
     return oracle
 
