@@ -22,6 +22,14 @@
 # q_graph_degree, q_dedup_minhash_md5, q_embed_pairs_lsh — compare.py
 # auto-routes them to the staged/sliced oracle past the measured
 # thresholds (SLICED_ROUTE), so they compare fine at any decade.
+# sf>=10 extra-exclude (r17): q_join_interval — its OUTPUT (the exact
+# interval-overlap pair list) is quadratic by design, and the SPARK
+# side's pair materialization spilled >33 GB to ENOSPC at gen-sf10;
+# q_join_interval_agg (linear output, same banded join) is the
+# corpus-scale form and stays swept. Pass it explicitly:
+#   sweep_sfN.sh 10 q_join_interval
+# First-time decades: pre-stage the sliced oracles so the 300 s/query
+# compare budget holds (compare_sliced.py <sfDir> --stage-only <q>).
 set -u
 cd /root/repo
 SF=${1:?usage: sweep_sfN.sh <sf> [extra-exclude ...]}
