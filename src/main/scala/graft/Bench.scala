@@ -64,7 +64,11 @@ object Bench {
         .selectExpr("sum(l_orderkey + l_partkey + l_suppkey)",
           "sum(l_quantity + l_extendedprice + l_discount + l_tax)",
           "sum(length(l_returnflag) + length(l_linestatus))",
-          "sum(unix_micros(cast(l_shipdate as timestamp)))", "count(*)")
+          // modulo before summing: a raw sum of epoch-micros overflows
+          // BIGINT past ~5M rows under ANSI mode; the mod keeps the
+          // full timestamp decode in the scan with a bounded sum
+          "sum(unix_micros(cast(l_shipdate as timestamp)) % 1000000007)",
+          "count(*)")
         .collect()
       (System.nanoTime() - t0) / 1e9
     }
