@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
-"""Staged/sliced oracle compare for the gen-sf10 blind spots.
+"""Staged/sliced oracle compare for the heavy-oracle blind spots.
 
-Four queries could never be differentially compared at gen-sf10 because
+These queries could never be differentially compared at scale because
 their ONE-SHOT DuckDB oracle exceeds the sweep budget — q_pagerank /
-q_graph_degree died of temp-spill (>39 GB, ENOSPC: the whole multi-join
-pipeline's hash tables live at once), q_dedup_minhash_md5 /
-q_embed_pairs_lsh exceed 300 s (quadratic-in-bucket verification). The
+q_graph_degree / q_graph_triangles die of temp-spill (>35-45 GB,
+ENOSPC: the whole multi-join pipeline's hash tables live at once),
+q_dedup_minhash_md5 / q_embed_pairs_lsh exceed 300 s
+(quadratic-in-bucket verification), and the two simhash md5 twins'
+one-shot form unnests 64/128 vote rows per TOKEN. The
 Spark sides dump fine.  This tool computes the SAME oracle result in
 bounded stages: linear intermediates are staged to parquet once, the
 quadratic stage runs as N disjoint key-hash slices (each a plain DuckDB
