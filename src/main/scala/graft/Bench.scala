@@ -55,9 +55,17 @@ object Bench {
     // fixed full-scan of the sf dir's lineitem (sum over every column
     // family: ints, doubles, strings, timestamp — nothing prunable)
     // measures bytes-off-disk + parquet decode at the same scale the
-    // suite reads, so total can be read against BOTH scalars. Same
-    // protocol as calib: warmed, 3 samples before + 3 after the timed
-    // loop, median-of-6.
+    // suite reads, so total can be read against BOTH scalars. Unlike
+    // the CPU probe this one is sampled ONLY AFTER the timed loop
+    // (warm + 6, median-of-6): pre-loop full-scans of the suite's
+    // largest table would leave every lineitem column chunk
+    // page-cache-hot before the first timed query — a confound the
+    // r13-r16 records don't carry (ADVICE r17; the r17 record DID
+    // pre-scan, noted in SURVEY's round history). Post-loop sampling
+    // still reads host IO speed in the run's window — and the suite's
+    // own warm pass has the table cache-resident by then either way,
+    // so the probe tracks decode + page-cache bandwidth, the same
+    // regime the timed queries run in.
     def probeIoOnce(): Double = {
       val t0 = System.nanoTime()
       spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -73,9 +81,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     probeOnce() // warm the probe's generated code
-    probeIoOnce()
     val calibPre = Array.fill(3)(probeOnce())
-    val calibIoPre = Array.fill(3)(probeIoOnce())
     // Median-of-3 timed passes: single measurements on a shared VM
     // showed ±20-25% noise (GC, neighbor steal); the median discards
     // both a hiccup pass and a suspiciously-hot one, so consecutive
@@ -113,7 +119,8 @@ object Bench {
     }
     val calibAll = (calibPre ++ Array.fill(3)(probeOnce())).sorted
     val calib = (calibAll(2) + calibAll(3)) / 2.0 // median of 6
-    val calibIoAll = (calibIoPre ++ Array.fill(3)(probeIoOnce())).sorted
+    probeIoOnce() // warm the IO probe's generated code (post-loop only)
+    val calibIoAll = Array.fill(6)(probeIoOnce()).sorted
     val calibIo = (calibIoAll(2) + calibIoAll(3)) / 2.0 // median of 6
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -53,9 +53,22 @@ object FeatureQueries {
     * error-containing sessions against all concurrent sessions.
     * Output: (user_a, session_a, user_b, session_b, overlap_sec),
     * unordered.
+    *
+    * `guarded = true` (the pair-LIST query only) prices the candidate
+    * volume first and refuses loudly past the cap — the list output is
+    * quadratic by semantics and spilled >33 GB at gen-sf10 before this
+    * guard existed (VERDICT r17 item 6). The aggregate companion runs
+    * unguarded: its banded join streams the same pairs but the map-side
+    * partial agg collapses them before any materialization, so it IS
+    * the corpus-scale form the guard's error message points to. Cap
+    * override: SPARK_GRAFT_INTERVAL_PAIR_CAP (candidate pairs; default
+    * 2e8 ≈ low-GB of shuffled pair rows, comfortably inside one local
+    * run yet far below the decade that died by spill).
     */
   private def overlapPairs(s: org.apache.spark.sql.SparkSession,
-                           dir: String): org.apache.spark.sql.DataFrame = {
+                           dir: String,
+                           guarded: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
     val sessions = Relational
       .sessionize(t(s, dir, "events"), "user_id", "ts", "event_id",
         gapSeconds = 1800)
@@ -72,8 +85,14 @@ object FeatureQueries {
       .select(col("user_id").as("user_b"),
         col("session_idx").cast("bigint").as("session_b"),
         col("st").as("st_b"), col("en").as("en_b"))
-    Relational.intervalJoin(a, b, "st_a", "en_a", "st_b", "en_b",
-        bucketSeconds = 3600L)
+    val joined =
+      if (guarded) Relational.intervalJoinGuarded(
+        a, b, "st_a", "en_a", "st_b", "en_b", bucketSeconds = 3600L,
+        maxPairs = sys.env.get("SPARK_GRAFT_INTERVAL_PAIR_CAP")
+          .map(_.toLong).getOrElse(200000000L))
+      else Relational.intervalJoin(
+        a, b, "st_a", "en_a", "st_b", "en_b", bucketSeconds = 3600L)
+    joined
       .filter(not(col("user_a") === col("user_b") &&
         col("session_a") === col("session_b")))
       .select(col("user_a"), col("session_a"), col("user_b"),
@@ -199,7 +218,11 @@ object FeatureQueries {
     // error-containing sessions. Catalyst alone would nested-loop the
     // full session-pair space; Relational.intervalJoin bands intervals
     // into coarse hour buckets and equi-joins on the band key — join
-    // volume tracks actually-overlapping pairs at any scale.
+    // volume tracks actually-overlapping pairs. The PAIR LIST itself
+    // is still output-quadratic by semantics (documented feature-scale,
+    // SURVEY §2.2 — >33 GB spill at gen-sf10), so this query runs
+    // guarded: candidate volume is priced first and an over-cap corpus
+    // fails loudly, pointing at q_join_interval_agg below.
     sql("q_join_interval")(
       """WITH s AS (
         |  SELECT user_id, ts, event_id, event_type,
@@ -232,7 +255,7 @@ object FeatureQueries {
         |           AND i.session_idx = g.session_idx)
         |ORDER BY user_a, session_a, user_b, session_b""".stripMargin) {
       (s, dir) =>
-        overlapPairs(s, dir)
+        overlapPairs(s, dir, guarded = true)
           .orderBy("user_a", "session_a", "user_b", "session_b")
     },
 

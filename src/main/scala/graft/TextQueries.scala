@@ -939,20 +939,77 @@ object TextQueries {
         .orderBy("query_id", "rnk")
     },
 
-    // -- ANN index quality report: recall@k of the IVF index against
-    // exact brute force, per query + corpus mean (the metric every ANN
-    // deployment tracks; rows-only — the IVF side trains MLlib k-means)
-    QuerySpec.rowsOnly("q_ann_recall") { (s, dir) =>
+    // -- ANN index quality report: recall@5 of the IVF index against
+    // exact brute force, per query (the metric every ANN deployment
+    // tracks). Oracle-checked since r18 (VERDICT r17 item 8): the
+    // coarse quantizer here is Similarity.ivfTopKSeeded — centroids =
+    // the vec_id<16 seed vectors (the q_kmeans_step convention), so
+    // assignment, probe choice and rescoring are all exact integer
+    // arithmetic both engines compute identically. The TRAINED MLlib
+    // quantizer path stays exercised by q_similarity_ivf (rows-only)
+    // and AnnRecallSpec's recall floor. Zero-hit queries surface with
+    // recall 0 via the left join (a semi-join would silently drop
+    // them — a recall REPORT must show its failures).
+    QuerySpec.sql("q_ann_recall")(
+      """WITH v AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv,
+        |    x -> x*x)) AS BIGINT) AS n2 FROM v),
+        |c AS (SELECT vec_id AS cell, qv AS qc, n2 AS cn2 FROM n
+        |      WHERE vec_id < 16),
+        |aff AS (SELECT n.vec_id, c.cell,
+        |        2*CAST(list_sum(list_transform(range(1, 65),
+        |          i -> n.qv[i]*c.qc[i])) AS BIGINT) - c.cn2 AS a
+        |      FROM n, c),
+        |ca AS (SELECT vec_id AS nbr_id, cell FROM (
+        |        SELECT vec_id, cell, row_number() OVER (
+        |          PARTITION BY vec_id ORDER BY a DESC, cell) AS rn
+        |        FROM aff) WHERE rn = 1),
+        |qa AS (SELECT vec_id AS query_id, cell FROM (
+        |        SELECT vec_id, cell, row_number() OVER (
+        |          PARTITION BY vec_id ORDER BY a DESC, cell) AS rn
+        |        FROM aff WHERE vec_id < 20) WHERE rn <= 4),
+        |cd AS (SELECT qa.query_id, ca.nbr_id,
+        |        CAST(CAST(list_sum(list_transform(range(1, 65),
+        |          i -> nn.qv[i]*nq.qv[i])) AS BIGINT) AS DOUBLE) /
+        |          sqrt(CAST(nn.n2 AS DOUBLE)*CAST(nq.n2 AS DOUBLE))
+        |          AS cosine
+        |      FROM qa JOIN ca USING (cell)
+        |        JOIN n nn ON nn.vec_id = ca.nbr_id
+        |        JOIN n nq ON nq.vec_id = qa.query_id
+        |      WHERE ca.nbr_id <> qa.query_id),
+        |ap AS (SELECT query_id, nbr_id FROM (
+        |        SELECT query_id, nbr_id, row_number() OVER (
+        |          PARTITION BY query_id ORDER BY cosine DESC, nbr_id)
+        |          AS rnk
+        |        FROM cd) WHERE rnk <= 5),
+        |ex AS (SELECT query_id, nbr_id FROM (
+        |        SELECT nq.vec_id AS query_id, nn.vec_id AS nbr_id,
+        |          row_number() OVER (PARTITION BY nq.vec_id ORDER BY
+        |            CAST(CAST(list_sum(list_transform(range(1, 65),
+        |              i -> nn.qv[i]*nq.qv[i])) AS BIGINT) AS DOUBLE) /
+        |            sqrt(CAST(nn.n2 AS DOUBLE)*CAST(nq.n2 AS DOUBLE))
+        |            DESC, nn.vec_id) AS rnk
+        |        FROM n nn, n nq
+        |        WHERE nq.vec_id < 20 AND nn.vec_id <> nq.vec_id)
+        |      WHERE rnk <= 5)
+        |SELECT ex.query_id,
+        |  CAST(count(ap.nbr_id) AS DOUBLE) / 5.0 AS recall_at_5
+        |FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id
+        |  AND ap.nbr_id = ex.nbr_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       val emb = Q.t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
       val exact = Similarity.bruteForceTopK(emb, queries,
           "vec_id", "embedding", k = 5, dim = 64)
         .select(col("query_id"), col("nbr_id"))
-      val approx = Similarity.ivfTopK(emb, queries,
+      val approx = Similarity.ivfTopKSeeded(emb, queries,
           "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
         .select(col("query_id"), col("nbr_id"))
-      exact.join(approx, Seq("query_id", "nbr_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        .withColumn("__hit", lit(1L))
+      exact.join(approx, Seq("query_id", "nbr_id"), "left")
+        .groupBy("query_id").agg(count(col("__hit")).as("n_hit"))
         .select(col("query_id"),
           (col("n_hit").cast(DoubleType) / lit(5.0)).as("recall_at_5"))
         .orderBy("query_id")

@@ -78,11 +78,18 @@ object Simulation {
     // ONE job for both table sizes (r17: separate users.count() +
     // items.count() each scheduled a driver job in a query whose cost
     // is driver-gap-bound — the union folds them into a single
-    // two-stage action that also materializes both persists).
-    val cnts = users.select(count(lit(1)).as("n"))
-      .unionAll(items.select(count(lit(1)).as("n"))).collect()
-    val nUsers = cnts(0).getLong(0).toInt
-    val nItems = cnts(1).getLong(0)
+    // two-stage action that also materializes both persists). Each
+    // branch carries a literal tag and the counts are selected by it:
+    // UnionExec preserves child order today, but no API contract says
+    // so, and a silent reorder would transpose nUsers/nItems without
+    // any failure (ADVICE r17).
+    val cnts = users.select(lit("u").as("side"), count(lit(1)).as("n"))
+      .unionAll(items.select(lit("i").as("side"), count(lit(1)).as("n")))
+      .collect()
+    val bySide = cnts.map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(bySide.size == 2, s"expected u+i count rows, got ${cnts.toSeq}")
+    val nUsers = bySide("u").toInt
+    val nItems = bySide("i")
     // One row per transition; trajectory id = step, position = slot.
     val base = spark.range(steps.toLong * batchSize)
       .withColumn("step", (col("id") / batchSize).cast("int"))

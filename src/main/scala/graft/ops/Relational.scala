@@ -262,6 +262,65 @@ object Relational {
       .distinct()
   }
 
+  /** Upper-bound estimate of [[intervalJoin]]'s candidate-pair volume:
+    * Σ over bands of (a-intervals in band × b-intervals in band). One
+    * cheap aggregate — two banded per-bucket counts, an equi-join on
+    * the band key (band count ≈ time-range / bucketSeconds, tiny), one
+    * scalar sum. Upper bound because in-band candidates that fail the
+    * exact overlap predicate, and pairs double-counted across shared
+    * bands, are all included — which is the right direction for a
+    * guard: the estimate bounds the join's SHUFFLE-side work even when
+    * the post-filter output is smaller.
+    */
+  def intervalJoinPairEstimate(a: DataFrame, b: DataFrame,
+                               aStart: String, aEnd: String,
+                               bStart: String, bEnd: String,
+                               bucketSeconds: Long): Long = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val us = bucketSeconds * 1000000L
+    def bandCounts(df: DataFrame, s: String, e: String) =
+      df.select(explode(sequence(
+          floor(unix_micros(col(s)) / us).cast("long"),
+          floor(unix_micros(col(e)) / us).cast("long"))).as("__bkt"))
+        .groupBy("__bkt").agg(count(lit(1)).as("__n"))
+    val est = bandCounts(a, aStart, aEnd).as("ac")
+      .join(bandCounts(b, bStart, bEnd).as("bc"), "__bkt")
+      .agg(sum(col("ac.__n") * col("bc.__n")))
+      .collect()(0)
+    if (est.isNullAt(0)) 0L else est.getLong(0)
+  }
+
+  /** [[intervalJoin]] behind a loud output-volume guard (VERDICT r17
+    * item 6). The exact pair LIST an interval join materializes is
+    * output-quadratic by semantics — at gen-sf10 the ungated form
+    * spilled >33 GB before failing (documented feature-scale in SURVEY
+    * §2.2). This wrapper prices the candidate volume first with
+    * [[intervalJoinPairEstimate]] (one scalar aggregate, band-count
+    * sized) and throws past `maxPairs` instead of launching a job that
+    * dies by spill, pointing at the linear-output aggregate companion
+    * (q_join_interval_agg's shape: same banded join, collapsed by a
+    * map-side partial aggregate) as the corpus-scale form. Estimation
+    * runs eagerly at plan-build time; callers that cannot afford the
+    * extra pass (or whose pair volume is known bounded) use
+    * [[intervalJoin]] directly.
+    */
+  def intervalJoinGuarded(a: DataFrame, b: DataFrame,
+                          aStart: String, aEnd: String,
+                          bStart: String, bEnd: String,
+                          bucketSeconds: Long,
+                          maxPairs: Long): DataFrame = {
+    val est = intervalJoinPairEstimate(
+      a, b, aStart, aEnd, bStart, bEnd, bucketSeconds)
+    if (est > maxPairs) throw new IllegalStateException(
+      s"intervalJoin candidate-pair estimate $est exceeds maxPairs " +
+        s"$maxPairs: the exact pair list is output-quadratic and this " +
+        "corpus would spill, not stream. Use the aggregate companion " +
+        "(q_join_interval_agg: same banded join collapsed per key) at " +
+        "corpus scale, or raise the cap deliberately " +
+        "(SPARK_GRAFT_INTERVAL_PAIR_CAP for the registered query).")
+    intervalJoin(a, b, aStart, aEnd, bStart, bEnd, bucketSeconds)
+  }
+
   /** Numeric band equi-join (point × interval): rows of `points` whose
     * `valCol` lands in [`centerCol` − halfWidth, `centerCol` + halfWidth]
     * of `bands`. Same coarse-banding trick as [[intervalJoin]], on a

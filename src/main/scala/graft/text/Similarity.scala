@@ -287,6 +287,44 @@ object Similarity {
     val centers = centerRows.toDF("cell", "cvec")
       .select(col("cell"), quantVec(col("cvec")).as("qc"))
       .withColumn("cn2", qnorm2(col("qc")))
+    ivfProbe(corpus, queries, idCol, vecCol, k, nprobe, centers)
+  }
+
+  /** IVF top-k with a DETERMINISTIC coarse quantizer: the cells are
+    * the quantized vectors of the corpus rows with id < `nlist` (the
+    * same seed-vectors-as-centroids convention q_kmeans_step /
+    * q_semantic_dedup pin), so the ENTIRE index — assignment, probe
+    * choice, rescoring — is exact integer arithmetic expressible in
+    * ANSI SQL. This is the differential twin of [[ivfTopK]] (VERDICT
+    * r17 item 8: recall@k over a trained MLlib quantizer is only
+    * rows-only checkable; over seeded centroids it is a full oracle).
+    * Plan shape is IDENTICAL to the trained form — only the centroid
+    * source differs — so the oracle exercises the production probe
+    * join end to end. Cell quality is worse than trained centroids
+    * (seeds are arbitrary corpus points), which for a RECALL REPORT is
+    * fine: the metric is defined relative to whatever index is
+    * deployed. Requires ids 0..nlist-1 present in the corpus.
+    */
+  def ivfTopKSeeded(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nlist: Int,
+                    nprobe: Int): DataFrame = {
+    val centers = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).cast(LongType).as("cell"),
+        quantVec(col(vecCol)).as("qc"))
+      .withColumn("cn2", qnorm2(col("qc")))
+    ivfProbe(corpus, queries, idCol, vecCol, k, nprobe, centers)
+  }
+
+  /** Shared IVF probe tail: assign corpus rows to their nearest cell
+    * and queries to their `nprobe` nearest (exact integer affinity
+    * 2·⟨q,c⟩ − |c|², ties on cell id), equi-join on the cell key, and
+    * rescore candidates with exact quantized cosine. `centers` must
+    * carry (cell, qc, cn2) and is broadcast — the index is model-sized
+    * by construction (nlist × dim).
+    */
+  private def ivfProbe(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int, nprobe: Int,
+                       centers: DataFrame): DataFrame = {
     def assign(df: DataFrame, outId: String, n: Int): DataFrame = {
       val scored = df.crossJoin(broadcast(centers))
         .withColumn("__aff",

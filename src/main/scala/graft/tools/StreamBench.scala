@@ -251,13 +251,22 @@ object StreamBench {
         .writeStream.format("memory").queryName("sb_floor_warm")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
         .awaitTermination()
+      // Build + queue ALL blocks BEFORE the timed thunk — timeDrain's
+      // contract (and every other mode's practice). feed() inside the
+      // thunk counted driver-side generation + MemoryStream encoding of
+      // the full row set (2M at the large rate) in the drain window,
+      // which is what inverted the r17 floor rows (shuffle_noop
+      // "faster" than passthrough in 2 of 3 rows — ADVICE r17; those
+      // rows are annotated superseded in sweep_stream.jsonl).
+      val ptIn = feed()
       val ptRps = timeDrain(total)(() =>
-        feed().toDF().toDF("user_id", "value")
+        ptIn.toDF().toDF("user_id", "value")
           .select(col("user_id"), (col("value") * 2).as("v2"))
           .writeStream.format("memory").queryName("sb_floor_pt")
           .outputMode("append").trigger(Trigger.AvailableNow()).start())
+      val shIn = feed()
       val shRps = timeDrain(total)(() =>
-        feed().toDF().toDF("user_id", "value")
+        shIn.toDF().toDF("user_id", "value")
           .repartition(shuffleParts, col("user_id"))
           .select(col("user_id"), (col("value") * 2).as("v2"))
           .writeStream.format("memory").queryName("sb_floor_sh")

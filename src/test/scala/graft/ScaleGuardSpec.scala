@@ -46,7 +46,9 @@ class ScaleGuardSpec extends SparkSpec {
     */
   private val declaredBuilders: Set[String] = Set(
     "q_dedup_clusters", "q_dedup_survivors", "q_semantic_dedup",
-    "q_similarity_ivf", "q_ann_recall", "q_bandit_loop",
+    // (q_ann_recall left this list in r18: its coarse quantizer is now
+    // the seeded ivfTopKSeeded — pure plan construction, no training)
+    "q_similarity_ivf", "q_bandit_loop",
     "q_tfrecord_roundtrip", "q_feature_pit_bucketed",
     "q_media_meta", "q_media_features", "q_media_similarity",
     "q_frame_sample", "q_quantile_bin", "q_heavy_hitters",
@@ -54,7 +56,11 @@ class ScaleGuardSpec extends SparkSpec {
     "q_embed_centroids", "q_pipeline_e2e", "q_histogram",
     // one COUNT aggregate sizes the adaptive LSH bucket width
     // (Similarity.bitsFor) — a 1-scalar sizing pass, never a collect
-    "q_embed_pairs_lsh_auto")
+    "q_embed_pairs_lsh_auto",
+    // one SUM aggregate prices the candidate-pair volume BEFORE the
+    // output-quadratic pair list launches (intervalJoinGuarded, VERDICT
+    // r17 item 6) — a 1-scalar guard pass, band-count sized
+    "q_join_interval")
 
   test("no query construction runs a driver-side action unless it is a " +
     "declared memoized builder (the round-3 collect scale-killer class)") {
