@@ -229,10 +229,25 @@ object Relational {
     * nested-loop over the full pair space. Each interval explodes into
     * the `bucketSeconds`-wide bands it covers; candidates come from a
     * plain equi-join on the band key (shuffle-on-key, AQE-managed);
-    * the exact overlap predicate filters inside the join and a final
-    * distinct removes multi-band duplicates. Pick `bucketSeconds` near
-    * the typical interval length: bands per interval stays O(1), so
-    * join volume is O(overlapping pairs), never O(n²).
+    * the exact overlap predicate filters inside the join. Pick
+    * `bucketSeconds` near the typical interval length: bands per
+    * interval stays O(1), so join volume is O(overlapping pairs),
+    * never O(n²).
+    *
+    * Multi-band dedup is BY CONSTRUCTION, not by `distinct()`: a pair
+    * is emitted only in the band containing the LATER of the two
+    * starts (for overlapping intervals max(start) ≤ min(end), so that
+    * band is covered by both sides — each true pair matches in exactly
+    * one band). The r18 gen-sf30 sweep caught the old
+    * distinct-afterwards form re-shuffling the ENTIRE pair stream just
+    * to drop band duplicates — ENOSPC past ~70 GB of exchange spill on
+    * a query whose AGGREGATE output is one row per user; with the
+    * band-assignment predicate the pair stream flows straight from the
+    * join into its consumer (map-side partial agg, guard, or sink)
+    * with no second corpus-scale exchange. Contract change vs the old
+    * form: duplicate INPUT rows are no longer collapsed (the old
+    * whole-row distinct did both jobs) — callers' sides carry unique
+    * keys, which every registered caller does.
     *
     * Inclusive overlap: [aStart, aEnd] ∩ [bStart, bEnd] ≠ ∅. Column
     * names of `a` and `b` must be disjoint (rename before calling).
@@ -257,9 +272,10 @@ object Relational {
     banded(a, aStart, aEnd).as("a").mergeHint
       .join(banded(b, bStart, bEnd).as("b").mergeHint,
         col("a.__bkt") === col("b.__bkt") &&
-          col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+          col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
+          col("a.__bkt") === floor(unix_micros(
+            greatest(col(aStart), col(bStart))) / us).cast("long"))
       .drop("__bkt")
-      .distinct()
   }
 
   /** Upper-bound estimate of [[intervalJoin]]'s candidate-pair volume:
