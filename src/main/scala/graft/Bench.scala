@@ -137,6 +137,29 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/bench_out.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Archive the full per-query map per ROUND (VERDICT r18 item 2):
+    // BENCH_rN captures only a ~2000-char stdout tail (~60 of 158
+    // queries, alphabetical end), so round-over-round comparison was
+    // blind to the early alphabet unless bench_out.json happened to
+    // survive. The round tag comes from SPARK_GRAFT_ROUND when set;
+    // otherwise it is inferred as max(existing BENCH_r*.json) + 1 —
+    // the driver benches BEFORE writing this round's BENCH file, so
+    // the inference names the CURRENT round. Committed per round, the
+    // sweeps/ history lets any verdict diff all queries, not a tail.
+    val roundTag = sys.env.get("SPARK_GRAFT_ROUND").map("r" + _)
+      .getOrElse {
+        val pat = "BENCH_r(\\d+)\\.json".r
+        val last = Option(new java.io.File("/root/repo").list())
+          .toSeq.flatten
+          .collect { case pat(n) => n.toInt }
+          .foldLeft(0)(math.max)
+        "r" + (last + 1)
+      }
+    val sweepDir = java.nio.file.Paths.get("/root/repo/sweeps")
+    java.nio.file.Files.createDirectories(sweepDir)
+    java.nio.file.Files.write(
+      sweepDir.resolve(s"bench_per_query_$roundTag.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     println(full)
     println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_io":$calibIo,"n_queries":${results.size},"failures":$failJson,"sf":"$sfDir","per_query":"bench_out.json"}""")

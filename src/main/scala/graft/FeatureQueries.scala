@@ -88,8 +88,10 @@ object FeatureQueries {
     val joined =
       if (guarded) Relational.intervalJoinGuarded(
         a, b, "st_a", "en_a", "st_b", "en_b", bucketSeconds = 3600L,
-        maxPairs = sys.env.get("SPARK_GRAFT_INTERVAL_PAIR_CAP")
-          .map(_.toLong).getOrElse(200000000L))
+        maxPairs = graft.ops.Caps
+          .longEnv("SPARK_GRAFT_INTERVAL_PAIR_CAP", 200000000L),
+        hint = "(q_join_interval_agg is the corpus-scale companion; " +
+          "SPARK_GRAFT_INTERVAL_PAIR_CAP raises this query's cap.)")
       else Relational.intervalJoin(
         a, b, "st_a", "en_a", "st_b", "en_b", bucketSeconds = 3600L)
     joined

@@ -13,6 +13,15 @@ import graft.QuerySpec.{rowsOnly, sql}
   */
 object StatsQueries {
 
+  /** Remediation appended to the co-occurrence guard's over-cap
+    * message by the two registered graph queries (ADVICE r18: the
+    * generic ops layer names no caller query or env var).
+    */
+  private val cooccurHint =
+    "(q_graph_degree/q_graph_triangles consume this projection; " +
+      "SPARK_GRAFT_COOC_PAIR_CAP raises their cap — the gen-sf30 " +
+      "sweep priced this stream at 2.7B rows / ~60GB transient.)"
+
   def specs: Seq[QuerySpec] = Seq(
 
     sql("q_quantiles")(
@@ -516,8 +525,11 @@ object StatsQueries {
         .select(col("o_custkey"), col("l_suppkey"))
       graft.ops.Graph.triangleStats(
         graft.ops.Materialize.parquet(
-          graft.ops.Graph.coOccurrenceEdges(cs, "o_custkey", "l_suppkey",
-            meanFactor = 1.08, maxDeg = 500L), "cosupply"))
+          graft.ops.Graph.coOccurrenceEdgesGuarded(cs, "o_custkey",
+            "l_suppkey", meanFactor = 1.08, maxDeg = 500L,
+            maxPairs = graft.ops.Caps
+              .longEnv("SPARK_GRAFT_COOC_PAIR_CAP", 200000000L),
+            hint = cooccurHint), "cosupply"))
     },
 
     // -- degree distribution of the same strong-tie projection ---------
@@ -545,8 +557,11 @@ object StatsQueries {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey"), col("l_suppkey"))
       val e = graft.ops.Materialize.parquet(
-        graft.ops.Graph.coOccurrenceEdges(cs, "o_custkey",
-          "l_suppkey", meanFactor = 1.08, maxDeg = 500L), "cosupply")
+        graft.ops.Graph.coOccurrenceEdgesGuarded(cs, "o_custkey",
+          "l_suppkey", meanFactor = 1.08, maxDeg = 500L,
+          maxPairs = graft.ops.Caps
+            .longEnv("SPARK_GRAFT_COOC_PAIR_CAP", 200000000L),
+          hint = cooccurHint), "cosupply")
       e.select(col("lo").as("node"))
         .unionAll(e.select(col("hi").as("node")))
         .groupBy("node").agg(count(lit(1)).as("degree"))

@@ -376,8 +376,16 @@ object TextQueries {
       // maxDf exercises the skew guard while staying recall-exact: the
       // verify corpus has 500 docs, so no shingle can exceed df 10000
       // and the pruning filter removes nothing (oracle stays hash-equal).
+      // maxPairs: the exact posting self-join is output-quadratic on
+      // low-entropy corpora (excluded at sf>=10 by documentation until
+      // r19 — now it refuses loudly at estimate time instead).
       Dedup.ngramJaccardPairs(Q.t(s, dir, "documents"), "text", "doc_id",
-          n = 3, minJaccard = 0.2, maxDf = 10000L)
+          n = 3, minJaccard = 0.2, maxDf = 10000L,
+          maxPairs = graft.ops.Caps
+            .longEnv("SPARK_GRAFT_NGRAM_PAIR_CAP", 200000000L),
+          guardHint = "(q_dedup_minhash is the registered banded " +
+            "companion; SPARK_GRAFT_NGRAM_PAIR_CAP raises this " +
+            "query's cap.)")
         .orderBy("doc_a", "doc_b")
     },
 
@@ -717,8 +725,15 @@ object TextQueries {
         |      FROM n a, n b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      Similarity.cosinePairs(Q.t(s, dir, "embeddings"), "vec_id",
-          "embedding", minCosine = 0.4, dim = 64)
+      // Guarded (VERDICT r18 item 3): n(n-1)/2 output + full-corpus
+      // broadcast by construction — refuses loudly past the cap.
+      Similarity.cosinePairsGuarded(Q.t(s, dir, "embeddings"), "vec_id",
+          "embedding", minCosine = 0.4, dim = 64,
+          maxPairs = graft.ops.Caps
+            .longEnv("SPARK_GRAFT_EMBED_PAIR_CAP", 200000000L),
+          hint = "(q_embed_pairs_lsh_auto is the registered " +
+            "occupancy-sized companion; SPARK_GRAFT_EMBED_PAIR_CAP " +
+            "raises this query's cap.)")
         .orderBy("id_a", "id_b")
     },
 
@@ -1046,9 +1061,50 @@ object TextQueries {
         .orderBy("id", "sub_id")
     },
 
-    // -- PQ asymmetric-distance top-k over the codes (rows-only: the
-    // composed encode→LUT→scan pipeline; ADCSpec pins semantics) -------
-    QuerySpec.rowsOnly("q_pq_adc") { (s, dir) =>
+    // -- PQ asymmetric-distance top-k over the codes (oracle-checked
+    // since r19: the composed encode→LUT→scan pipeline is exact
+    // quantized-integer arithmetic end-to-end over the SEEDED
+    // first-k-ids codebook — the same determinism that oracle-ified
+    // q_ann_recall in r18 — so the DuckDB side just extends the
+    // q_pq_encode CTE chain: the per-query LUT is `d` filtered to the
+    // query ids, ADC = sum of the 8 looked-up subspace distances, and
+    // the (dist, id) row_number tiebreak is total. PQSpec keeps the
+    // semantic pins) ----------------------------------------------------
+    QuerySpec.sql("q_pq_adc")(
+      """WITH v AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |sp AS (SELECT vec_id, s.range AS sub_id,
+        |         list_transform(range(1, 9),
+        |           i -> qv[CAST(s.range*8 + i AS BIGINT)]) AS sv
+        |       FROM v, range(0, 8) s),
+        |cb AS (SELECT vec_id AS cid, sub_id, sv AS cv,
+        |         CAST(list_sum(list_transform(sv, x -> x*x)) AS BIGINT)
+        |           AS c2
+        |       FROM sp WHERE vec_id < 16),
+        |d AS (SELECT p.vec_id, p.sub_id, cb.cid,
+        |        CAST(list_sum(list_transform(p.sv, x -> x*x)) AS BIGINT)
+        |          + cb.c2
+        |          - 2*CAST(list_sum(list_transform(range(1, 9),
+        |              i -> p.sv[i]*cb.cv[i])) AS BIGINT) AS dist2
+        |      FROM sp p JOIN cb USING (sub_id)),
+        |a AS (SELECT vec_id, sub_id, cid, dist2, row_number() OVER (
+        |        PARTITION BY vec_id, sub_id ORDER BY dist2, cid) AS rn
+        |      FROM d),
+        |codes AS (SELECT vec_id AS id, sub_id, cid AS code FROM a
+        |          WHERE rn = 1),
+        |lut AS (SELECT vec_id AS query_id, sub_id, cid AS code,
+        |          dist2 AS d2
+        |        FROM d WHERE vec_id < 20),
+        |scored AS (SELECT l.query_id, c.id AS nbr_id,
+        |             CAST(sum(l.d2) AS BIGINT) AS adc_dist2
+        |           FROM codes c JOIN lut l USING (sub_id, code)
+        |           GROUP BY 1, 2),
+        |r AS (SELECT query_id, nbr_id, adc_dist2, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY adc_dist2, nbr_id) AS rnk
+        |      FROM scored WHERE query_id <> nbr_id)
+        |SELECT query_id, nbr_id, adc_dist2, rnk FROM r
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
       val emb = Q.t(s, dir, "embeddings")
       val codes = PQ.pqEncode(emb, "vec_id", "embedding",
         k = 16, m = 8, dim = 64)

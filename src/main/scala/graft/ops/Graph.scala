@@ -76,18 +76,28 @@ object Graph {
     */
   def coOccurrenceEdges(pairs: DataFrame, ctxCol: String, itemCol: String,
                         meanFactor: Double,
-                        maxDeg: Long = Long.MaxValue): DataFrame = {
+                        maxDeg: Long = Long.MaxValue): DataFrame =
+    edgesFromPruned(prunedPairs(pairs, ctxCol, itemCol, maxDeg), meanFactor)
+
+  /** The distinct'd, maxDeg-pruned bipartite relation both
+    * [[coOccurrenceEdges]] variants self-join.
+    */
+  private def prunedPairs(pairs: DataFrame, ctxCol: String,
+                          itemCol: String, maxDeg: Long): DataFrame = {
     val distinctP = pairs.select(col(ctxCol).as("c"), col(itemCol).as("i"))
       .distinct()
-    val p =
-      if (maxDeg == Long.MaxValue) distinctP
-      else {
-        val byCtx =
-          org.apache.spark.sql.expressions.Window.partitionBy(col("c"))
-        distinctP.withColumn("deg", count(lit(1)).over(byCtx))
-          .filter(col("deg") <= maxDeg)
-          .drop("deg")
-      }
+    if (maxDeg == Long.MaxValue) distinctP
+    else {
+      val byCtx =
+        org.apache.spark.sql.expressions.Window.partitionBy(col("c"))
+      distinctP.withColumn("deg", count(lit(1)).over(byCtx))
+        .filter(col("deg") <= maxDeg)
+        .drop("deg")
+    }
+  }
+
+  private def edgesFromPruned(p: DataFrame,
+                              meanFactor: Double): DataFrame = {
     val shared = p.as("a").join(p.as("b"),
         col("a.c") === col("b.c") && col("a.i") < col("b.i"))
       .groupBy(col("a.i").as("lo"), col("b.i").as("hi"))
@@ -99,6 +109,64 @@ object Graph {
     shared.crossJoin(broadcast(mu))
       .filter(col("shared").cast(DoubleType) >= lit(meanFactor) * col("mu"))
       .select(col("lo"), col("hi"))
+  }
+
+  /** Exact candidate-pair volume of the co-occurrence self-join:
+    * Σ over contexts of C(deg, 2) on the SAME distinct'd, maxDeg-pruned
+    * relation the join consumes — this is the join's shuffle-side work,
+    * not an upper bound, because every in-context (i < j) pair reaches
+    * the pre-aggregate stream. One map-side-combined groupBy(ctx) plus
+    * a scalar sum; per-context products and the sum run in DOUBLE and
+    * saturate (see [[Caps.saturate]]) so pathological fan-outs can
+    * never overflow BIGINT into an ANSI ArithmeticException.
+    */
+  def coOccurrencePairEstimate(pairs: DataFrame, ctxCol: String,
+                               itemCol: String,
+                               maxDeg: Long = Long.MaxValue): Long = {
+    val est = prunedPairs(pairs, ctxCol, itemCol, maxDeg)
+      .groupBy("c").agg(count(lit(1)).cast(DoubleType).as("d"))
+      .agg(sum(col("d") * (col("d") - 1) / 2))
+      .collect()(0)
+    if (est.isNullAt(0)) 0L else Caps.saturate(est.getDouble(0))
+  }
+
+  /** [[coOccurrenceEdges]] behind a loud candidate-volume guard
+    * (VERDICT r18 item 3 — the [[Relational.intervalJoinGuarded]]
+    * pattern). The projection's pair stream is Σ deg²(ctx): linear in
+    * the corpus only while per-context fan-out stays bounded, and the
+    * gen-shaped dense corpus grew it to 2.7 B rows / tens of GB of
+    * spill at gen-sf30 (sweep_spot_sf30.jsonl) — a cost profile that
+    * should be REFUSED, not discovered by ENOSPC, when it exceeds what
+    * the deployment budgeted. Prices the volume with
+    * [[coOccurrencePairEstimate]] (one aggregate over the same pruned
+    * relation the join would consume) and throws past `maxPairs`.
+    * Estimation runs eagerly at plan-build time.
+    *
+    * @param hint optional caller-supplied remediation appended to the
+    *             over-cap message (the generic layer names no caller
+    *             query or env var — ADVICE r18)
+    */
+  def coOccurrenceEdgesGuarded(pairs: DataFrame, ctxCol: String,
+                               itemCol: String, meanFactor: Double,
+                               maxDeg: Long, maxPairs: Long,
+                               hint: String = ""): DataFrame = {
+    val p = prunedPairs(pairs, ctxCol, itemCol, maxDeg).persist()
+    val est = Caps.saturate {
+      val r = p.groupBy("c").agg(count(lit(1)).cast(DoubleType).as("d"))
+        .agg(sum(col("d") * (col("d") - 1) / 2)).collect()(0)
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    if (est > maxPairs) throw new IllegalStateException(
+      s"co-occurrence candidate-pair estimate $est exceeds maxPairs " +
+        s"$maxPairs: the projection's self-join stream is Σ C(deg,2) " +
+        "over contexts and this corpus would spill, not stream. " +
+        "Tighten maxDeg (drops only signal-free viral contexts), or " +
+        "raise the cap deliberately." +
+        (if (hint.nonEmpty) " " + hint else ""))
+    // The estimate materialized `p` into the cache, so the join below
+    // reuses it — the guard's second pass over the bipartite relation
+    // is a cache scan, not a recompute.
+    edgesFromPruned(p, meanFactor)
   }
 
   /** Edge/wedge/triangle census over an undirected (lo < hi) edge

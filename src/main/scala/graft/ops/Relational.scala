@@ -299,11 +299,19 @@ object Relational {
           floor(unix_micros(col(s)) / us).cast("long"),
           floor(unix_micros(col(e)) / us).cast("long"))).as("__bkt"))
         .groupBy("__bkt").agg(count(lit(1)).as("__n"))
+    // Per-band product and the sum both run in DOUBLE: two bands of
+    // ~3 B intervals each already push n_a·n_b past BIGINT, and under
+    // ANSI (Spark 4 default) the overflow would surface as a raw
+    // ArithmeticException instead of this guard's loud refusal (ADVICE
+    // r18). Double loses only low-order precision at that magnitude —
+    // irrelevant for a bound that is compared against caps in the 1e8
+    // range — and any non-finite / ≥Long.Max reading saturates to
+    // Long.MaxValue, i.e. "exceeds every cap", the safe direction.
     val est = bandCounts(a, aStart, aEnd).as("ac")
       .join(bandCounts(b, bStart, bEnd).as("bc"), "__bkt")
-      .agg(sum(col("ac.__n") * col("bc.__n")))
+      .agg(sum(col("ac.__n").cast("double") * col("bc.__n").cast("double")))
       .collect()(0)
-    if (est.isNullAt(0)) 0L else est.getLong(0)
+    if (est.isNullAt(0)) 0L else Caps.saturate(est.getDouble(0))
   }
 
   /** [[intervalJoin]] behind a loud output-volume guard (VERDICT r17
@@ -319,21 +327,27 @@ object Relational {
     * runs eagerly at plan-build time; callers that cannot afford the
     * extra pass (or whose pair volume is known bounded) use
     * [[intervalJoin]] directly.
+    *
+    * @param hint optional caller-supplied remediation appended to the
+    *             over-cap message (e.g. the registered companion query
+    *             and cap env var) — the generic layer names neither
+    *             (ADVICE r18)
     */
   def intervalJoinGuarded(a: DataFrame, b: DataFrame,
                           aStart: String, aEnd: String,
                           bStart: String, bEnd: String,
                           bucketSeconds: Long,
-                          maxPairs: Long): DataFrame = {
+                          maxPairs: Long,
+                          hint: String = ""): DataFrame = {
     val est = intervalJoinPairEstimate(
       a, b, aStart, aEnd, bStart, bEnd, bucketSeconds)
     if (est > maxPairs) throw new IllegalStateException(
       s"intervalJoin candidate-pair estimate $est exceeds maxPairs " +
         s"$maxPairs: the exact pair list is output-quadratic and this " +
-        "corpus would spill, not stream. Use the aggregate companion " +
-        "(q_join_interval_agg: same banded join collapsed per key) at " +
-        "corpus scale, or raise the cap deliberately " +
-        "(SPARK_GRAFT_INTERVAL_PAIR_CAP for the registered query).")
+        "corpus would spill, not stream. Use a linear-output aggregate " +
+        "companion (same banded join collapsed by a map-side partial " +
+        "aggregate) at corpus scale, or raise the cap deliberately." +
+        (if (hint.nonEmpty) " " + hint else ""))
     intervalJoin(a, b, aStart, aEnd, bStart, bEnd, bucketSeconds)
   }
 

@@ -87,11 +87,19 @@ object Dedup {
     * shared by > maxDf docs; with maxDf far above the expected
     * duplicate-cluster size the result is exact. Default = no pruning.
     *
+    * `maxPairs` (default unguarded) prices the posting self-join's
+    * exact candidate volume Σ C(df_s, 2) first and throws loudly past
+    * the cap — the VERDICT-r18 guard pattern; `guardHint` is appended
+    * to the over-cap message by callers that know their registered
+    * companion query / cap env var (the generic layer names neither).
+    *
     * Output: (doc_a, doc_b, n_inter, n_union, jaccard), doc_a < doc_b.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, minJaccard: Double,
-                        maxDf: Long = Long.MaxValue): DataFrame = {
+                        maxDf: Long = Long.MaxValue,
+                        maxPairs: Long = Long.MaxValue,
+                        guardHint: String = ""): DataFrame = {
     // Persisted: the set table is tiny relative to the corpus (ids +
     // shingle arrays) and feeds BOTH sides of the self-join — without it
     // each side re-tokenizes the full corpus. The 100 TB analogue is
@@ -112,6 +120,29 @@ object Dedup {
           .filter(col("df") <= maxDf)
           .drop("df")
       }
+    // Candidate-volume guard (VERDICT r18 item 3 — the
+    // intervalJoinGuarded pattern): the posting self-join streams
+    // Σ C(df_s, 2) rows over the surviving shingles, exact — every
+    // in-posting (x < y) pair reaches the pre-aggregate stream (the
+    // size filter prunes AFTER the join pairs them). A low-entropy
+    // vocabulary degrades that toward n² by semantics, so past
+    // `maxPairs` this REFUSES at plan-build time (one map-side-combined
+    // groupBy over the cached set table, double-summed and saturated
+    // per Caps.saturate) instead of dying by spill mid-join. The banded
+    // MinHash form (minhashPairs) is the corpus-scale companion.
+    if (maxPairs != Long.MaxValue) {
+      val r = posts.groupBy("s")
+        .agg(count(lit(1)).cast(DoubleType).as("d"))
+        .agg(sum(col("d") * (col("d") - 1) / 2)).collect()(0)
+      val est = if (r.isNullAt(0)) 0L else graft.ops.Caps.saturate(r.getDouble(0))
+      if (est > maxPairs) throw new IllegalStateException(
+        s"n-gram posting-pair estimate $est exceeds maxPairs $maxPairs: " +
+          "the exact inverted-index self-join is output-quadratic on " +
+          "low-entropy vocabularies and this corpus would spill, not " +
+          "stream. Use a banded approximate companion (MinHash-LSH) at " +
+          "corpus scale, tighten maxDf, or raise the cap deliberately." +
+          (if (guardHint.nonEmpty) " " + guardHint else ""))
+    }
     val inter = posts.as("x").mergeHint.join(
         posts.as("y").mergeHint,
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&

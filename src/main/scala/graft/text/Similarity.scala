@@ -398,6 +398,33 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** [[cosinePairs]] behind a loud candidate-volume guard (VERDICT r18
+    * item 3 — the intervalJoinGuarded pattern). The exact all-pairs
+    * form is n(n−1)/2 by construction AND collects the whole corpus
+    * into one broadcast block, so past `maxPairs` this refuses at
+    * plan-build time (one count()) instead of dying in
+    * BroadcastExchange or by output spill, pointing callers at the
+    * bucketed LSH companion ([[bucketedPairs]] with [[bitsFor]]-sized
+    * buckets) whose volume tracks bucket occupancy, not n².
+    *
+    * @param hint optional caller-supplied remediation appended to the
+    *             over-cap message (the generic layer names no caller
+    *             query or env var — ADVICE r18)
+    */
+  def cosinePairsGuarded(df: DataFrame, idCol: String, vecCol: String,
+                         minCosine: Double, dim: Int, maxPairs: Long,
+                         hint: String = ""): DataFrame = {
+    val n = df.count()
+    val est = graft.ops.Caps.saturate(n.toDouble * (n - 1).toDouble / 2)
+    if (est > maxPairs) throw new IllegalStateException(
+      s"exact cosine all-pairs estimate $est (n=$n) exceeds maxPairs " +
+        s"$maxPairs: the exact form is n(n-1)/2 by construction and " +
+        "broadcasts the full corpus. Use an occupancy-sized sign-LSH " +
+        "bucketed companion at corpus scale, or raise the cap " +
+        "deliberately." + (if (hint.nonEmpty) " " + hint else ""))
+    cosinePairs(df, idCol, vecCol, minCosine, dim)
+  }
+
   /** Size `bits` to the corpus: bucket occupancy is ~n/2^bits and the
     * join does occupancy² work per bucket, so FIXED bits turns the
     * bucket join quadratic as n grows (measured: the registered bits=6

@@ -60,7 +60,14 @@ class ScaleGuardSpec extends SparkSpec {
     // one SUM aggregate prices the candidate-pair volume BEFORE the
     // output-quadratic pair list launches (intervalJoinGuarded, VERDICT
     // r17 item 6) — a 1-scalar guard pass, band-count sized
-    "q_join_interval")
+    "q_join_interval",
+    // r19 (VERDICT r18 item 3): the same 1-scalar guard pass extended
+    // to the remaining output-quadratic family — n-gram posting
+    // self-join (Σ C(df,2)), exact cosine all-pairs (one count), and
+    // the co-occurrence projection (Σ C(deg,2), feeding both graph
+    // queries through the memoized cosupply materialization)
+    "q_dedup_ngram", "q_embed_pairs",
+    "q_graph_degree", "q_graph_triangles")
 
   test("no query construction runs a driver-side action unless it is a " +
     "declared memoized builder (the round-3 collect scale-killer class)") {

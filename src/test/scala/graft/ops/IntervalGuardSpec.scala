@@ -74,9 +74,19 @@ class IntervalGuardSpec extends SparkSpec {
       s"timestamp_seconds($t0 + 600 + id) AS en_b")
     val e = intercept[IllegalStateException] {
       Relational.intervalJoinGuarded(bigA, bigB, "st_a", "en_a",
+        "st_b", "en_b", bucketSeconds = 3600L, maxPairs = 100000L,
+        hint = "(q_join_interval_agg is the corpus-scale companion.)")
+    }
+    assert(e.getMessage.contains("exceeds maxPairs"))
+    // the caller-supplied hint is appended verbatim …
+    assert(e.getMessage.contains("q_join_interval_agg"))
+    // … and the generic layer names no caller query on its own
+    // (ADVICE r18: remediation text belongs to the caller)
+    val bare = intercept[IllegalStateException] {
+      Relational.intervalJoinGuarded(bigA, bigB, "st_a", "en_a",
         "st_b", "en_b", bucketSeconds = 3600L, maxPairs = 100000L)
     }
-    assert(e.getMessage.contains("q_join_interval_agg"))
-    assert(e.getMessage.contains("exceeds maxPairs"))
+    assert(!bare.getMessage.contains("q_join_interval_agg"))
+    assert(!bare.getMessage.contains("SPARK_GRAFT_INTERVAL_PAIR_CAP"))
   }
 }

@@ -23,6 +23,11 @@
 # Usage: tools/sweep_pl.sh gendata/pl-sf3 gendata/pl-sf10 gendata/pl-sf30
 set -u
 cd /root/repo
+# Deliberate guard-cap raise (r19): this sweep exists to run the graph
+# projection at decades the default SPARK_GRAFT_COOC_PAIR_CAP (2e8)
+# refuses; the box running it has budgeted the measured spill
+# (pl-sf100 projection: ~60 GB transient).
+export SPARK_GRAFT_COOC_PAIR_CAP=${SPARK_GRAFT_COOC_PAIR_CAP:-20000000000}
 QS="q_pagerank q_graph_triangles q_graph_degree"
 ART=sweeps/sweep_spot_sf30.jsonl
 LOG=/tmp/sweep_pl.log

@@ -32,6 +32,13 @@
 # compare budget holds (compare_sliced.py <sfDir> --stage-only <q>).
 set -u
 cd /root/repo
+# Deliberate guard-cap raise (r19): the sweep box prices its own disk
+# (the gen-sf30 co-supply stream measured 2.7 B rows / ~60 GB transient
+# and PASSED with ~75 GB free) — the default SPARK_GRAFT_COOC_PAIR_CAP
+# of 2e8 exists to protect runs that have NOT budgeted that. 4e9 admits
+# the priced sf30 stream; sf100's ~9 B-row stream stays excluded (see
+# the r19 adjudication in sweeps/sweep_spot_sf30.jsonl).
+export SPARK_GRAFT_COOC_PAIR_CAP=${SPARK_GRAFT_COOC_PAIR_CAP:-4000000000}
 SF=${1:?usage: sweep_sfN.sh <sf> [extra-exclude ...]}
 shift
 SF_DIR=/root/repo/gendata/sf$SF
