@@ -90,7 +90,7 @@ for q in $RUN; do
   if [ ! -d "$OUT/$q" ]; then
     echo "SKIP $q (no spark output)" | tee -a "$LOG"; FAIL=$((FAIL+1)); continue
   fi
-  timeout 300 python3 tools/compare.py "$SF_DIR" "$OUT" "$q" > "$CMP" 2>&1
+  timeout "${CMP_TIMEOUT:-300}" python3 tools/compare.py "$SF_DIR" "$OUT" "$q" > "$CMP" 2>&1
   rc=$?
   if [ $rc = 124 ]; then
     echo "TIMEOUT $q (oracle > 300s)" | tee -a "$LOG"; TIMEOUT=$((TIMEOUT+1))
