@@ -13,6 +13,9 @@
 set -u
 cd /root/repo
 export SPARK_GRAFT_COOC_PAIR_CAP=${SPARK_GRAFT_COOC_PAIR_CAP:-4000000000}
+# The sf30 lesson priced the dump JVM at >=48g (28g default OOM'd on
+# minhash_md5 and took 63 queued dumps with it); build.sbt reads this.
+export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-48g}
 SF_DIR=/root/repo/${1:?usage: sweep_batched.sh <sfDirRel> <batchSize> [excl ...]}
 BATCH=${2:?batch size}
 shift 2
