@@ -19,7 +19,9 @@ import graft.Sessions
   * Usage: `runMain graft.tools.SlopeProbe <sfDir>` (graph + ngram
   * analytics), or `<sfDir> lsh [bits]` / `<sfDir> minhash
   * [--survivors]` / `<sfDir> simhash [--spaces-only | --no-narrow]` /
-  * `<sfDir> ngram` / `<sfDir> graph` (trade-graph-only analytics for
+  * `<sfDir> ngram` / `<sfDir> interval` (the registered interval
+  * join's candidate volume via the production guard's estimate) /
+  * `<sfDir> graph` (trade-graph-only analytics for
   * `--power-law` variant dirs, incl. the distinct-co-occurring-pairs
   * count whose ~linear-in-nSupp growth is the family's scale record) —
   * each mode appends its JSON line to `sweeps/sweep_<mode>.jsonl`
@@ -282,6 +284,42 @@ object SlopeProbe {
         s""""distinct_pairs":$distinctPairs,"n_edges":$nEdges,""" +
         s""""wedges_id_orient":$wedgesId,""" +
         s""""wedges_deg_orient":$wedgesDeg,"sec":$sec}""")
+      spark.stop()
+      return
+    }
+    // `<sfDir> interval` — candidate-pair volume of the registered
+    // interval-join pipeline (q_join_interval / q_join_interval_agg:
+    // gap-sessionize events, error sessions × all concurrent sessions,
+    // 3600 s bands — parameters mirror FeatureQueries.overlapPairs),
+    // priced with the SAME estimate the production guard runs
+    // (Relational.intervalJoinPairEstimate: two banded counts, one
+    // tiny equi-join, one scalar sum — never the pair join itself).
+    // The estimate prices the banded join's SHUFFLE-side work, which
+    // both the pair-LIST query and its aggregate companion must
+    // stream: it is the measured adjudication for excluding either
+    // form at a decade where that stream exceeds the box's budget.
+    if (args.length > 1 && args(1) == "interval") {
+      val sessions = graft.ops.Relational
+        .sessionize(graft.io.Tables.table(spark, sfDir, "events"),
+          "user_id", "ts", "event_id", gapSeconds = 1800)
+        .groupBy("user_id", "session_idx")
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_err"))
+        .persist()
+      val nSessions = sessions.count()
+      val a = sessions.filter(col("n_err") >= 1)
+        .select(col("st").as("st_a"), col("en").as("en_a"))
+      val nErr = a.count()
+      val t0 = System.nanoTime()
+      val est = graft.ops.Relational.intervalJoinPairEstimate(
+        a, sessions.select(col("st").as("st_b"), col("en").as("en_b")),
+        "st_a", "en_a", "st_b", "en_b", bucketSeconds = 3600L)
+      val sec = (System.nanoTime() - t0) / 1e9
+      SweepLog.append("interval",
+        s"""{"sf":"$sfDir","mode":"interval","n_sessions":$nSessions,""" +
+        s""""n_error_sessions":$nErr,"candidate_pair_estimate":$est,""" +
+        s""""estimate_sec":$sec}""")
       spark.stop()
       return
     }
