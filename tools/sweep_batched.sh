@@ -19,8 +19,11 @@ export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-48g}
 SF_DIR=/root/repo/${1:?usage: sweep_batched.sh <sfDirRel> <batchSize> [excl ...]}
 BATCH=${2:?batch size}
 shift 2
-OUT=/tmp/vout_$(basename "$SF_DIR")
-LOG=/tmp/sweep_batched_$(basename "$SF_DIR").log
+# OUT_DIR/LOG_FILE overrides let two instances run disjoint ONLY sets
+# concurrently (dump JVM of one overlaps DuckDB compares of the other —
+# the box-level pipeline the serial loop can't express).
+OUT=${OUT_DIR:-/tmp/vout_$(basename "$SF_DIR")}
+LOG=${LOG_FILE:-/tmp/sweep_batched_$(basename "$SF_DIR").log}
 : > "$LOG"
 
 # standing exclusions — same set and reasons as sweep_sfN.sh
@@ -63,7 +66,7 @@ while [ $# -gt 0 ]; do
   done
   N=$((N+1))
   echo "[batched] batch $N: dump$QS" | tee -a "$LOG"
-  SPARK_GRAFT_CPUS=16 SPARK_GRAFT_SHUFFLE_PARTS=256 \
+  SPARK_GRAFT_CPUS=${DUMP_CPUS:-16} SPARK_GRAFT_SHUFFLE_PARTS=256 \
     sbt -batch "runMain graft.Verify $SF_DIR $OUT $QS" >> "$LOG" 2>&1
   if [ -s "$OUT/errors.json" ] && [ "$(cat "$OUT/errors.json")" != "{}" ]; then
     echo "[batched] DUMP FAILURES: $(cat "$OUT/errors.json")" | tee -a "$LOG"
