@@ -543,23 +543,33 @@ object RelationalQueries {
     * unlike a direct double→DECIMAL cast whose tie-rounding differs)
     * and accumulate in DECIMAL(38,0) — a BIGINT accumulator at
     * ~3.6e8/row would wrap past ~2.5e10 rows (a few TB).
+    *
+    * Raw-column sums accumulate at scale 2 (the columns' exact
+    * precision), NOT scale 4: the DECIMAL→DOUBLE cast is only
+    * bit-equal cross-engine while the SCALED-INTEGER form of the sum
+    * stays under 2^53 — above it, DuckDB's int128→double→/10^scale
+    * path rounds twice where Spark's BigDecimal→double rounds once.
+    * At gen-sf100 the global Q1 groups sum l_extendedprice to ~7.5e12,
+    * i.e. 7.5e16 scaled at 1e-4 (> 2^53 ≈ 9.0e15) but 7.5e14 at 1e-2 —
+    * the r19 sf100 differential caught the scale-4 form one ulp apart
+    * on avg_price; scale 2 is exact there through ~sf1000.
     */
   val SqlTextQuery2: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
       |    AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
       |    AS sum_base_price,
       |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000)
       |    AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS sum_disc_price,
       |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
       |    * (1 + l_tax) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000
       |    AS sum_charge,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
       |    / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
       |    / CAST(COUNT(*) AS DOUBLE) AS avg_price,
-      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
       |    / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
