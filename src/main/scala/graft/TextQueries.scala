@@ -1610,7 +1610,11 @@ object TextQueries {
     // pipeline. The ranking uses the partition-parallel zipIndex (range
     // repartition + per-partition index), NOT a global row_number
     // window; the vocab artifact is model-sized and broadcasts to the
-    // encode join. -----------------------------------------------------
+    // encode join. Oracle: per-token rows carry only (term, position)
+    // via unnest(list_zip(...)) — the previous form kept the WHOLE
+    // token array in every per-token row, an oracle-side width blowup
+    // (~600 GB intermediate at gen-sf100, COMPARE_MEM_GB=100 already
+    // needed at sf30) the Spark plan never had. ------------------------
     QuerySpec.sql("q_vocab_encode")(
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term
         |           FROM documents),
@@ -1619,12 +1623,13 @@ object TextQueries {
         |        (ORDER BY cnt DESC, term) AS BIGINT) AS id FROM c),
         |t AS (SELECT doc_id, string_split(text, ' ') AS ts
         |      FROM documents),
-        |tok AS (SELECT doc_id, ts,
-        |          unnest(range(1, len(ts) + 1)) AS i FROM t),
+        |tok AS (SELECT doc_id, u.z[1] AS term, u.z[2] AS i
+        |        FROM (SELECT doc_id,
+        |                unnest(list_zip(ts, range(1, len(ts) + 1))) AS z
+        |              FROM t) u),
         |enc AS (SELECT tok.doc_id,
         |          array_agg(v.id ORDER BY tok.i) AS ids
-        |        FROM tok JOIN v
-        |          ON v.term = list_extract(tok.ts, CAST(tok.i AS INT))
+        |        FROM tok JOIN v ON v.term = tok.term
         |        GROUP BY 1)
         |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
         |  array_to_string(ids[1:16], ',') AS head_ids
