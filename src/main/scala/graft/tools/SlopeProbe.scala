@@ -316,6 +316,7 @@ object SlopeProbe {
         a, sessions.select(col("st").as("st_b"), col("en").as("en_b")),
         "st_a", "en_a", "st_b", "en_b", bucketSeconds = 3600L)
       val sec = (System.nanoTime() - t0) / 1e9
+      sessions.unpersist()
       SweepLog.append("interval",
         s"""{"sf":"$sfDir","mode":"interval","n_sessions":$nSessions,""" +
         s""""n_error_sessions":$nErr,"candidate_pair_estimate":$est,""" +

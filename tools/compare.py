@@ -119,6 +119,11 @@ def first_mismatch(spark, oracle):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
+    if os.environ.get("COMPARE_SELFTEST_CRASH"):
+        # Fault injection for the sweep harness's crash-vs-divergence
+        # labeling (VERDICT r19 item 3b): die like a kernel OOM-kill —
+        # no verdict line, no exception, no exit handler.
+        os.kill(os.getpid(), 9)
     con = duckdb.connect()
     threads = os.environ.get("COMPARE_THREADS")
     if threads:
@@ -129,7 +134,12 @@ def main():
     # OOM on exactly the large outputs the switch exists for (ADVICE r14).
     # Harmless for the pandas path (a memory_limit only bounds DuckDB's
     # own operators; oracles that outgrow it now spill instead of dying).
-    con.execute("SET temp_directory='/tmp/duckdb_hash_spill'")
+    # Per-instance dir (PID-keyed unless DUCKDB_SPILL_DIR overrides) so
+    # concurrent sweep instances can't rm each other's live temp blocks
+    # — the r19 q_cond_funcs crash (VERDICT r19 item 3a).
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from compare_hash import spill_dir
+    con.execute(f"SET temp_directory='{spill_dir()}'")
     mem_gb = int(os.environ.get("COMPARE_MEM_GB", 48))
     con.execute(f"SET memory_limit='{mem_gb}GB'")
     for t in TABLES:

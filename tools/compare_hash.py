@@ -27,8 +27,10 @@ canonicalize identically.
 Usage: compare_hash.py <sfDir> <verifyOutDir> <query> [mem_gb=48]
 Prints PASS/FAIL with both (rows, checksum) tuples.
 """
+import atexit
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -42,6 +44,44 @@ def log(msg):
     print(f"[hash {time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+def spill_dir():
+    """Per-instance DuckDB temp_directory (VERDICT r19 item 3a).
+
+    The r19 concurrent gen-sf100 sweeps shared a single
+    /tmp/duckdb_hash_spill: one instance's post-kill orphan cleanup
+    rm'd temp blocks a LIVE compare in the other instance still held
+    open (q_cond_funcs: 'Cannot open file ..._temp_block-*.block').
+    Default is keyed on PID so two comparators can never collide;
+    DUCKDB_SPILL_DIR overrides for deliberate sharing (e.g. pointing
+    at a bigger volume). The PID-default dir is removed at exit —
+    it is exclusively ours — while an override dir is left alone.
+    """
+    d = os.environ.get("DUCKDB_SPILL_DIR")
+    if d:
+        return d
+    d = f"/tmp/duckdb_hash_spill_{os.getpid()}"
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def check_free_disk(where="/tmp"):
+    """Refuse a row-scale digest when free disk is below the floor
+    (VERDICT r19 item 3a). The big sf100 digests (q_math_funcs,
+    q_unpivot, q_cond_funcs: ~600M rows) spill 30-40 GB of DuckDB
+    temp; starting one against a nearly-full disk dies mid-digest
+    with ENOSPC after burning ~10 min (two r19 rows). A loud refusal
+    BEFORE the digest is a scheduling signal, not a failure.
+    COMPARE_MIN_FREE_GB overrides the 25 GB default (0 disables).
+    """
+    floor_gb = float(os.environ.get("COMPARE_MIN_FREE_GB", 25))
+    free_gb = shutil.disk_usage(where).free / 2**30
+    if free_gb < floor_gb:
+        raise RuntimeError(
+            f"refused: free disk {free_gb:.1f} GB < {floor_gb:.0f} GB "
+            f"floor for a row-scale digest (COMPARE_MIN_FREE_GB to "
+            f"override); free space or lower the spill footprint first")
+
+
 def hash_compare(con, dump, oracle_sql, query):
     """Checksum-compare the Spark dump glob vs the oracle SQL (both run
     on `con`, which must already have the input views registered).
@@ -50,6 +90,7 @@ def hash_compare(con, dump, oracle_sql, query):
     when the dump exceeds the pandas comparator's row budget (VERDICT
     r13 item 5: one comparator entry point, no manual query partition).
     """
+    check_free_disk()
     # Canonical column order + types come from the Spark dump's parquet
     # schema; the oracle side is cast to the SAME types so both sides
     # take one type→VARCHAR path.
@@ -91,7 +132,7 @@ def main():
     sf_dir, out_dir, query = sys.argv[1], sys.argv[2], sys.argv[3]
     mem_gb = int(sys.argv[4]) if len(sys.argv) > 4 else 48
     con = duckdb.connect()
-    con.execute("SET temp_directory='/tmp/duckdb_hash_spill'")
+    con.execute(f"SET temp_directory='{spill_dir()}'")
     con.execute(f"SET memory_limit='{mem_gb}GB'")
     for t in TABLES:
         # variant corpora (ov-*/pl-*) carry only the tables their query

@@ -30,6 +30,15 @@ LOG=${LOG_FILE:-/tmp/sweep_batched_$(basename "$SF_DIR").log}
 EXCLUDE="q_graph_triangles q_embed_pairs q_dedup_clusters q_dedup_survivors q_semantic_dedup q_contamination q_dedup_ngram $*"
 
 mkdir -p "$OUT"
+# Serialize COMPILATION across concurrent instances (ADVICE r19): two
+# sbt processes share target/ and zinc incremental state, and racing a
+# compile corrupts it if any source changed since the last build. The
+# flock'd no-op compile makes the build current exactly once; the
+# per-batch runMain calls below then find it up-to-date and just fork
+# the JVM (safe concurrently). flock blocks, it doesn't skip — the
+# second instance waits for the first instance's compile to finish.
+flock /tmp/graft_sbt_build.lock sbt -batch compile >> "$LOG" 2>&1 \
+  || { echo "[batched] COMPILE FAILED — see $LOG" | tee -a "$LOG"; exit 1; }
 sbt -batch "runMain graft.Verify $SF_DIR $OUT --sql-only" >> "$LOG" 2>&1
 ALL=$(python3 - "$OUT/oracle_sql.json" <<'EOF'
 import json, sys
@@ -55,7 +64,7 @@ set -- $RUN
 TOTAL=$#
 echo "[batched] $TOTAL queries at $SF_DIR, batch=$BATCH" | tee -a "$LOG"
 
-PASS=0; FAIL=0; TIMEOUT=0; N=0
+PASS=0; FAIL=0; CRASH=0; TIMEOUT=0; N=0
 CMP=$(mktemp /tmp/cmp_b.XXXXXX)
 trap 'rm -f "$CMP"' EXIT
 while [ $# -gt 0 ]; do
@@ -85,12 +94,21 @@ while [ $# -gt 0 ]; do
     elif grep -q "^PASS $q" "$CMP"; then
       echo "PASS $q" | tee -a "$LOG"; PASS=$((PASS+1))
       rm -rf "${OUT:?}/$q"   # reclaim the dump as soon as it's green
-    else
+    elif grep -q "^FAIL" "$CMP"; then
       echo "FAIL $q:" | tee -a "$LOG"
       grep "^FAIL" "$CMP" | head -2 | tee -a "$LOG"
       FAIL=$((FAIL+1))
+    else
+      # No PASS and no FAIL line: the comparator process itself died
+      # (kernel OOM-kill, segfault, interpreter error) before reaching
+      # a verdict. That is NOT a divergence — label it distinctly and
+      # show the evidence (VERDICT r19 item 3b; three r19 rows read as
+      # bare FAIL when the comparator had been killed mid-digest).
+      echo "COMPARATOR-CRASH $q (rc=$rc, no verdict line):" | tee -a "$LOG"
+      tail -5 "$CMP" | sed 's/^/    /' | tee -a "$LOG"
+      CRASH=$((CRASH+1))
     fi
   done
   df -h / | tail -1 | tee -a "$LOG"
 done
-echo "== $(basename "$SF_DIR") batched sweep: $PASS pass, $FAIL fail, $TIMEOUT oracle-timeout (of $TOTAL) ==" | tee -a "$LOG"
+echo "== $(basename "$SF_DIR") batched sweep: $PASS pass, $FAIL fail, $CRASH comparator-crash, $TIMEOUT oracle-timeout (of $TOTAL) ==" | tee -a "$LOG"
