@@ -658,28 +658,38 @@ object TextQueries {
           array_repeat(lit("~"), k),
           (acc, x) => zip_with(acc, x, (a, b) => least(a, b))).as("sig"))
         .persist()
-      val banded = sigs.select(col("doc_id"),
+      // Estimator FUSED into the band join (r20, mirroring the
+      // production two-stage shape of Dedup.minhashCandidatesEst):
+      // the banded table carries the k-md5 signature (n·bands rows,
+      // ~0.5 KB payload each — linear in the corpus), `matches` is
+      // computed inline on the join output, and sub-threshold
+      // candidates are dropped BEFORE the distinct shuffle. The prior
+      // shape distinct'd the raw candidate stream and then attached
+      // two signature arrays to every candidate via joins — at
+      // gen-sf100 the saturated candidate space made those attach
+      // sorts exceed the box's disk (UnsafeExternalSorter ENOSPC,
+      // VERDICT r19 item 2). Output is IDENTICAL: `matches` is a
+      // function of the pair, so filtering before vs after the dedup
+      // admits exactly the same (doc_a, doc_b) set — both oracles
+      // (the one-shot SQL here and compare_sliced.oracle_minhash_md5)
+      // are unchanged.
+      val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           concat_ws("", slice(col("sig"), b * r + 1, lit(r)))))
           .as(Seq("b", "bucket")))
-      val cand = banded.as("x").mergeHint
+      banded.as("x").mergeHint
         .join(banded.as("y").mergeHint,
           col("x.b") === col("y.b") &&
             col("x.bucket") === col("y.bucket") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val sa = sigs.select(col("doc_id").as("doc_a"),
-        col("sig").as("sig_a"))
-      val sb = sigs.select(col("doc_id").as("doc_b"),
-        col("sig").as("sig_b"))
-      cand.mergeHint.join(sa.mergeHint, "doc_a")
-        .join(sb.mergeHint, "doc_b")
         .withColumn("matches",
-          aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
+          aggregate(zip_with(col("x.sig"), col("y.sig"),
+            (p, q2) => when(p === q2, 1L).otherwise(0L)),
             lit(0L), (acc, e) => acc + e))
         .filter(col("matches") >= k / 2)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("matches"))
+        .distinct()
         .select(col("doc_a"), col("doc_b"),
           (col("matches").cast(DoubleType) / k).as("est_jaccard"))
         .orderBy("doc_a", "doc_b")
