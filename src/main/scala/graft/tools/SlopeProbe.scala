@@ -21,6 +21,8 @@ import graft.Sessions
   * [--survivors]` / `<sfDir> simhash [--spaces-only | --no-narrow]` /
   * `<sfDir> ngram` / `<sfDir> interval` (the registered interval
   * join's candidate volume via the production guard's estimate) /
+  * `<sfDir> guardcost` (per-invocation cold/warm cost of the four
+  * quadratic-path guard estimates — the r19-item-7 memoization A/B) /
   * `<sfDir> graph` (trade-graph-only analytics for
   * `--power-law` variant dirs, incl. the distinct-co-occurring-pairs
   * count whose ~linear-in-nSupp growth is the family's scale record) —
@@ -321,6 +323,76 @@ object SlopeProbe {
         s"""{"sf":"$sfDir","mode":"interval","n_sessions":$nSessions,""" +
         s""""n_error_sessions":$nErr,"candidate_pair_estimate":$est,""" +
         s""""estimate_sec":$sec}""")
+      spark.stop()
+      return
+    }
+    // `<sfDir> guardcost` — per-invocation overhead of the four
+    // output-quadratic guards (VERDICT r19 item 7, measured-first):
+    // each guarded constructor runs its scalar candidate-volume
+    // estimate EAGERLY at plan-build time, every call — 3× per bench
+    // query, every call in production. This mode times three
+    // successive constructor invocations per guard exactly as the
+    // registered queries make them (fresh DataFrame each time, so the
+    // second/third hit only Spark's CacheManager canonical-plan dedup,
+    // not any object-identity shortcut): call 1 = cold (persist
+    // population + estimate), calls 2–3 = warm (what a guard-estimate
+    // memo would save per extra bench iteration). The A/B verdict —
+    // memoize or decline — reads off the warm column.
+    if (args.length > 1 && args(1) == "guardcost") {
+      def time3(body: => Unit): Seq[Double] = (1 to 3).map { _ =>
+        val t = System.nanoTime(); body; (System.nanoTime() - t) / 1e9
+      }
+      val cap = Long.MaxValue // price, never refuse, in the probe
+      // cooc: orders⋈lineitem → pruned+persisted relation → Σ C(deg,2)
+      val cooc = time3 {
+        val cs = graft.io.Tables.table(spark, sfDir, "orders")
+          .join(graft.io.Tables.table(spark, sfDir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), col("l_suppkey"))
+        graft.ops.Graph.coOccurrenceEdgesGuarded(cs, "o_custkey",
+          "l_suppkey", meanFactor = 1.08, maxDeg = 500L, maxPairs = cap)
+      }
+      // interval: sessionize → persist → banded-count estimate
+      val interval = time3 {
+        val sessions = graft.ops.Relational
+          .sessionize(graft.io.Tables.table(spark, sfDir, "events"),
+            "user_id", "ts", "event_id", gapSeconds = 1800)
+          .groupBy("user_id", "session_idx")
+          .agg(min(col("ts")).as("st"), max(col("ts")).as("en"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              .as("n_err"))
+          .persist()
+        val a = sessions.filter(col("n_err") >= 1)
+          .select(col("user_id").as("user_a"),
+            col("session_idx").cast("bigint").as("session_a"),
+            col("st").as("st_a"), col("en").as("en_a"))
+        val b = sessions
+          .select(col("user_id").as("user_b"),
+            col("session_idx").cast("bigint").as("session_b"),
+            col("st").as("st_b"), col("en").as("en_b"))
+        graft.ops.Relational.intervalJoinGuarded(
+          a, b, "st_a", "en_a", "st_b", "en_b", bucketSeconds = 3600L,
+          maxPairs = cap)
+      }
+      // ngram: shingle sets → persist → Σ C(df,2) posting estimate
+      val ngram = time3 {
+        graft.text.Dedup.ngramJaccardPairs(
+          graft.io.Tables.table(spark, sfDir, "documents"),
+          "text", "doc_id", n = 3, minJaccard = 0.2, maxDf = 10000L,
+          maxPairs = cap)
+      }
+      // embed: n(n-1)/2 from one count()
+      val embed = time3 {
+        graft.text.Similarity.cosinePairsGuarded(
+          graft.io.Tables.table(spark, sfDir, "embeddings"),
+          "vec_id", "embedding", minCosine = 0.4, dim = 64,
+          maxPairs = cap)
+      }
+      def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+      SweepLog.append("guardcost",
+        s"""{"sf":"$sfDir","mode":"guardcost",""" +
+        s""""cooc_sec":${arr(cooc)},"interval_sec":${arr(interval)},""" +
+        s""""ngram_sec":${arr(ngram)},"embed_sec":${arr(embed)}}""")
       spark.stop()
       return
     }
