@@ -58,8 +58,22 @@ object Debug {
         }
         ()
       }
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        { stages.incrementAndGet(); () }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        val i = s.stageInfo
+        val wall = for {
+          t0 <- i.submissionTime; t1 <- i.completionTime
+        } yield t1 - t0
+        val m = i.taskMetrics
+        println(f"    stage ${i.stageId}%4d tasks=${i.numTasks}%4d " +
+          f"wall=${wall.getOrElse(-1L)}%5d ms " +
+          f"run=${m.executorRunTime}%6d ms " +
+          f"cpu=${m.executorCpuTime / 1000000}%6d ms " +
+          f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1024}%8d kB " +
+          f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1024}%8d kB  " +
+          i.name.takeWhile(_ != '\n').take(60))
+        ()
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         { tasks.incrementAndGet(); () }
     })

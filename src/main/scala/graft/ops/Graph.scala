@@ -173,29 +173,48 @@ object Graph {
     * list — the classic clustering-structure metric, computed with
     * DEGREE-ORDERED orientation (Schank–Wagner / Suri–Vassilvitskii):
     * each edge is re-oriented from its lower-(degree, id) endpoint to
-    * its higher one, wedges join oriented edges on their shared source,
-    * and a wedge (u→v, u→w) with v ≺ w in the (degree, id) total order
-    * closes iff (v, w) is an oriented edge — every triangle counts
-    * exactly once, from its unique ≺-minimal apex.
+    * its higher one, and a triangle is counted exactly once, from its
+    * unique ≺-minimal apex, as an out-neighbor common to both ends of
+    * an oriented edge: n_triangles = Σ over oriented edges (u → v) of
+    * |adj(u) ∩ adj(v)| (the oriented 3-cycle has out-degrees 2/1/0, so
+    * only its apex edge (u→v, both → w) contributes, and contributes 1).
     *
-    * WHY degree order and not id order: the wedge space is
+    * WHY degree order and not id order: the candidate space is
     * Σ outdeg²(src), and id orientation puts a node's FULL fan-out on
     * whichever side its id happens to fall — on a skewed graph the hubs
     * dominate and the stream explodes. Degree orientation caps every
-    * out-degree at O(√m) (arboricity bound), so the wedge space is
+    * out-degree at O(√m) (arboricity bound), so the candidate space is
     * O(m^{3/2}) REGARDLESS of skew. Measured on the power-law trade
     * projection at pl-sf3 (1.92 M edges, hub degree ≈ 30 k): id-ordered
     * wedges = 8.81 B — the r15 sweep ground >8 min at 16 cores before
     * being killed — vs degree-ordered = 65.7 M, a 134× cut
     * (`sweeps/sweep_graph.jsonl`). The `n_wedges` output column is the
-    * degree-ordered count: the size of the candidate stream the join
-    * actually executes (the meaningful scale metric), computed
-    * analytically from the out-degree table (Σ d·(d−1)/2), never by
-    * materializing the stream twice.
+    * degree-ordered count: the size of the wedge space the census
+    * traverses (the meaningful scale metric), computed analytically
+    * from the out-degree table (Σ d·(d−1)/2), never by materializing
+    * the stream.
+    *
+    * WHY adjacency-intersection and not the r13–r19 wedge-close
+    * self-join (expand wedges (u→v, u→w), left-semi against the edge
+    * list): the two count the SAME triangles, but the self-join
+    * materializes every wedge as a row through a hashed-relation
+    * iterator + a second 2-column hash probe — measured 28 CPU-s for
+    * the 13.5 M-wedge sf0.1 census (≈1 µs/wedge through the BHJ row
+    * pipeline) — where the intersection walks the same candidate space
+    * inside one array-intersect kernel per edge: 154 k intersections,
+    * ≈1.4 CPU-s, the identical n_triangles = 5 978 360. One row per
+    * EDGE flows through the plan instead of one row per WEDGE; the
+    * O(m^1.5) wedge space is traversed only inside the kernel.
     *
     * All joins are equi-joins on node ids (shuffle-on-key,
-    * AQE-managed); the wedge STREAM flows straight into the closing
-    * semi-join without materialization.
+    * AQE-managed; adjacency lists broadcast while they fit). The
+    * explicit repartition on the streamed edge side exists because the
+    * oriented edge list of a strong-tie projection is kB-sized — one
+    * scan partition, and AQE would coalesce a size-based split right
+    * back — while the work per row is an O(outdeg) intersection: the
+    * cost is the OUTPUT of the expansion, which no size heuristic sees.
+    * The count is the session's shuffle sizing, so at cluster scale it
+    * is the exchange a shuffle join on `src` would run anyway.
     */
   def triangleStats(edges: DataFrame): DataFrame = {
     val e = edges.select(col("lo"), col("hi")).persist()
@@ -204,29 +223,26 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("d"))
     val loFirst = col("dlo") < col("dhi") ||
       (col("dlo") === col("dhi") && col("lo") < col("hi"))
-    // oriented edge (src → dst) with dst's degree carried so the wedge
-    // join can canonicalize its two endpoints by the same (deg, id)
-    // order without re-joining the degree table
     val o = e
       .join(deg.select(col("node").as("lo"), col("d").as("dlo")), "lo")
       .join(deg.select(col("node").as("hi"), col("d").as("dhi")), "hi")
       .select(
         when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
-        when(loFirst, col("hi")).otherwise(col("lo")).as("dst"),
-        when(loFirst, col("dhi")).otherwise(col("dlo")).as("dd"))
+        when(loFirst, col("hi")).otherwise(col("lo")).as("dst"))
       .persist()
     val nWedges = o.groupBy("src").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0L))
         .cast(LongType).as("n_wedges"))
-    val wedges = o.as("e1")
-      .join(o.as("e2"), col("e1.src") === col("e2.src") &&
-        (col("e1.dd") < col("e2.dd") ||
-          (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
-      .select(col("e1.dst").as("x"), col("e2.dst").as("y"))
-    val tri = wedges.join(
-        o.select(col("src").as("x"), col("dst").as("y")),
-        Seq("x", "y"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+    val parts = math.max(
+      o.sparkSession.sparkContext.defaultParallelism,
+      o.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val adj = o.groupBy("src").agg(collect_list(col("dst")).as("nbrs"))
+    val tri = o.repartition(parts, col("src"))
+      .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), "dst")
+      .select(size(array_intersect(col("nu"), col("nv"))).as("k"))
+      .agg(coalesce(sum(col("k")), lit(0L)).cast(LongType)
+        .as("n_triangles"))
     e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(broadcast(nWedges))
       .crossJoin(broadcast(tri))
