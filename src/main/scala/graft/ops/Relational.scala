@@ -339,8 +339,17 @@ object Relational {
                           bucketSeconds: Long,
                           maxPairs: Long,
                           hint: String = ""): DataFrame = {
-    val est = intervalJoinPairEstimate(
-      a, b, aStart, aEnd, bStart, bEnd, bucketSeconds)
+    // Memoized per canonical plan of both inputs (Caps.memoizedEstimate
+    // — VERDICT r19 item 7): re-invocations of the same join in one JVM
+    // skip the ~0.9 s re-pricing pass; different inputs (or a different
+    // bucketing) price fresh. The CAP comparison below still runs per
+    // call.
+    val est = Caps.memoizedEstimate(a,
+      s"interval|$aStart|$aEnd|$bStart|$bEnd|$bucketSeconds|" +
+        b.queryExecution.analyzed.canonicalized.toString) {
+      intervalJoinPairEstimate(
+        a, b, aStart, aEnd, bStart, bEnd, bucketSeconds)
+    }
     if (est > maxPairs) throw new IllegalStateException(
       s"intervalJoin candidate-pair estimate $est exceeds maxPairs " +
         s"$maxPairs: the exact pair list is output-quadratic and this " +

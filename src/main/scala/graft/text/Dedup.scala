@@ -131,10 +131,16 @@ object Dedup {
     // per Caps.saturate) instead of dying by spill mid-join. The banded
     // MinHash form (minhashPairs) is the corpus-scale companion.
     if (maxPairs != Long.MaxValue) {
-      val r = posts.groupBy("s")
-        .agg(count(lit(1)).cast(DoubleType).as("d"))
-        .agg(sum(col("d") * (col("d") - 1) / 2)).collect()(0)
-      val est = if (r.isNullAt(0)) 0L else graft.ops.Caps.saturate(r.getDouble(0))
+      // Memoized per canonical plan of `posts` (Caps.memoizedEstimate —
+      // VERDICT r19 item 7; the plan embeds the maxDf pruning, so a
+      // different maxDf prices fresh). The CAP comparison below still
+      // runs per call.
+      val est = graft.ops.Caps.memoizedEstimate(posts, "ngram") {
+        val r = posts.groupBy("s")
+          .agg(count(lit(1)).cast(DoubleType).as("d"))
+          .agg(sum(col("d") * (col("d") - 1) / 2)).collect()(0)
+        if (r.isNullAt(0)) 0L else graft.ops.Caps.saturate(r.getDouble(0))
+      }
       if (est > maxPairs) throw new IllegalStateException(
         s"n-gram posting-pair estimate $est exceeds maxPairs $maxPairs: " +
           "the exact inverted-index self-join is output-quadratic on " +
