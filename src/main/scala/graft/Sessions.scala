@@ -36,6 +36,21 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Let AQE rewrite sort-merge joins to shuffled-hash at runtime
+      // when every post-shuffle partition's build side is measured
+      // under this threshold (Spark default 0 = never). The band joins
+      // in this engine are merge-HINTED because Generate's size
+      // estimate passes through the un-exploded child and static
+      // planning would broadcast a multi-GB side; this threshold is
+      // the measured-size counterpart — AQE sees the REAL map output
+      // sizes, so small band tables skip the per-partition sort while
+      // corpus-scale ones keep merging. 64 MB default matches the AQE
+      // advisory partition size: a build side that fits one advisory
+      // partition fits the hash table. SPARK_GRAFT_SHJ_THRESHOLD
+      // overrides per deployment (bytes; 0 restores pure sort-merge).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD",
+          (64 * 1024 * 1024).toString).toLong)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       // 10 MB default is conservative; dims in this schema (region,
       // nation, feature registries, LinUCB models) are far below 64 MB
